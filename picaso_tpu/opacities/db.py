@@ -1,0 +1,238 @@
+"""Monochromatic opacity database: sqlite -> HBM-resident grids.
+
+TPU-native replacement for the reference ``RetrieveOpacities``
+(``/root/reference/picaso/optics.py:1877-2402``).  The reference re-queries
+sqlite for the 4 nearest (T, P) neighbours of every layer on *every*
+spectrum call; here the whole (molecule, pt-grid, wavenumber) cube is loaded
+once into device memory as log10-opacity and all per-call work — neighbour
+search, bilinear log-interpolation, Avogadro scaling — happens on device
+inside jit.  A full-resolution retrieval therefore does zero host I/O per
+likelihood.
+
+Grid semantics preserved exactly (optics.py:2048-2123):
+* interpolation is bilinear in (1/T, log10 P) on log10(opacity), with zeros
+  mapped to 1e-50 before the log;
+* temperatures clamp to the grid edges; the pressure low-index additionally
+  respects the ragged pressures-per-temperature count ``nc_p`` via
+  ``min(ilo, nc_p[t_hi]-3)``;
+* continuum (CIA) uses nearest-neighbour temperature, no interpolation
+  (optics.py:2296-2306).
+
+Storage layout: ``log_kappa [nmol, npt, nwno]`` float32 by default —
+opacities span ~1e-50..1e0 cm^2/molecule so the log is O(+-50) and f32 holds
+~7 significant digits of the exponent, far tighter than the 1% opacity-table
+accuracy itself.
+"""
+
+from __future__ import annotations
+
+import io
+import sqlite3
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['PTGrid', 'OpacityGrid', 'load_opacity_db', 'interp_molecular',
+           'nearest_continuum']
+
+
+def _convert_array(blob):
+    out = io.BytesIO(blob)
+    out.seek(0)
+    return np.load(out)
+
+
+def _adapt_array(arr):
+    out = io.BytesIO()
+    np.save(out, arr)
+    out.seek(0)
+    return sqlite3.Binary(out.read())
+
+
+def connect(db_filename):
+    """sqlite connection with numpy-array column support (optics.py:1977)."""
+    sqlite3.register_adapter(np.ndarray, _adapt_array)
+    sqlite3.register_converter('array', _convert_array)
+    conn = sqlite3.connect(db_filename, detect_types=sqlite3.PARSE_DECLTYPES)
+    return conn.cursor(), conn
+
+
+class PTGrid(NamedTuple):
+    """The ragged (T, P) grid of the molecular table (1060/1460 layout)."""
+    t_inv_grid: jnp.ndarray    # [ntemp] 1/T, descending T order ascending 1/T?
+    p_log_grid: jnp.ndarray    # [npress] log10 P(bar)
+    nc_p: jnp.ndarray          # [ntemp] pressures available per temperature
+    t_offset: jnp.ndarray      # [ntemp] cumulative start index into the flat grid
+
+
+class OpacityGrid(NamedTuple):
+    """Device-resident opacity data for one monochromatic database."""
+    wno: jnp.ndarray               # [nwno]
+    log_kappa: jnp.ndarray         # [nmol, npt, nwno] log10 cm^2/molecule
+    pt: PTGrid
+    cont_opa: jnp.ndarray          # [ncont, ntcia, nwno] linear cm^-1 amagat^-2 etc
+    cia_temps: jnp.ndarray         # [ntcia]
+    # host-side metadata (not traced)
+    molecules: tuple
+    continuum_molecules: tuple
+
+
+def load_opacity_db(db_filename, wave_range=None, resample=1,
+                    molecules: Optional[Sequence[str]] = None,
+                    dtype=np.float32):
+    """Load a reference-format sqlite opacity DB into an OpacityGrid.
+
+    Parameters mirror ``opannection`` (justdoit.py:1296): ``wave_range`` in
+    micron, ``resample`` a stride through the native wavenumber grid.
+    """
+    cur, conn = connect(db_filename)
+
+    cur.execute('SELECT wavenumber_grid FROM header')
+    wno_full = cur.fetchone()[0][::resample]
+    wave = 1e4 / wno_full
+    if wave_range is None:
+        loc = np.arange(len(wno_full))
+    else:
+        loc = np.where((wave > min(wave_range)) & (wave < max(wave_range)))[0]
+    wno = wno_full[loc]
+
+    cur.execute('SELECT molecule FROM continuum')
+    avail_continuum = sorted(set(x[0] for x in cur.fetchall()))
+    cur.execute('SELECT temperature FROM continuum')
+    cia_temps = np.unique([x[0] for x in cur.fetchall()])
+
+    cur.execute('SELECT molecule FROM molecular')
+    avail_mol = sorted(set(x[0] for x in cur.fetchall()))
+    if molecules is not None:
+        avail_mol = [m for m in avail_mol if m in set(molecules)]
+
+    cur.execute('SELECT DISTINCT ptid, pressure, temperature FROM molecular')
+    pt_pairs = sorted(cur.fetchall(), key=lambda x: x[0])
+    pressures_all = np.array([p for _, p, _ in pt_pairs])
+    temps_all = np.array([t for _, _, t in pt_pairs])
+    # unique preserving first-appearance order, like pandas .unique()
+    _, p_first = np.unique(pressures_all, return_index=True)
+    pressures = pressures_all[np.sort(p_first)]
+    _, t_first = np.unique(temps_all, return_index=True)
+    temps = temps_all[np.sort(t_first)]
+    # pressures-per-temperature in first-appearance temperature order
+    nc_p = np.array([(temps_all == t).sum() for t in temps])
+    t_offset = np.concatenate([[0], np.cumsum(nc_p)[:-1]])
+
+    npt = len(pt_pairs)
+    nmol = len(avail_mol)
+    log_kappa = np.full((nmol, npt, len(wno)), -50.0, dtype=dtype)
+
+    for im, mol in enumerate(avail_mol):
+        cur.execute('SELECT ptid, opacity FROM molecular WHERE molecule = ?',
+                    (mol,))
+        for ptid, op in cur.fetchall():
+            arr = op[::resample][loc]
+            log_kappa[im, ptid - 1] = np.log10(
+                np.where(arr != 0, arr, 1e-50)).astype(dtype)
+
+    cont = np.zeros((len(avail_continuum), len(cia_temps), len(wno)),
+                    dtype=dtype)
+    for im, mol in enumerate(avail_continuum):
+        cur.execute('SELECT temperature, opacity FROM continuum '
+                    'WHERE molecule = ?', (mol,))
+        for t, op in cur.fetchall():
+            it = int(np.searchsorted(cia_temps, t))
+            cont[im, it] = op[::resample][loc].astype(dtype)
+
+    conn.close()
+
+    pt = PTGrid(t_inv_grid=jnp.asarray(1.0 / temps, dtype),
+                p_log_grid=jnp.asarray(np.log10(pressures), dtype),
+                nc_p=jnp.asarray(nc_p, jnp.int32),
+                t_offset=jnp.asarray(t_offset, jnp.int32))
+    return OpacityGrid(wno=jnp.asarray(wno, jnp.float64
+                                       if jax.config.jax_enable_x64
+                                       else jnp.float32),
+                       log_kappa=jnp.asarray(log_kappa), pt=pt,
+                       cont_opa=jnp.asarray(cont),
+                       cia_temps=jnp.asarray(cia_temps, dtype),
+                       molecules=tuple(avail_mol),
+                       continuum_molecules=tuple(avail_continuum))
+
+
+# ---------------------------------------------------------------------------
+# on-device interpolation
+# ---------------------------------------------------------------------------
+
+def _find_indices(pt: PTGrid, tlayer, player_bar):
+    """Neighbour indices + weights; port of optics.py:2048-2123.
+
+    Returns (t_w [nlayer], p_w [nlayer], idx [4, nlayer]) where idx rows are
+    (t_low,p_low), (t_hi,p_low), (t_low,p_hi), (t_hi,p_hi) flat grid indices.
+    """
+    t_inv = 1.0 / tlayer
+    p_log = jnp.log10(player_bar)
+    tg = pt.t_inv_grid
+    pg = pt.p_log_grid
+    ntemp = tg.shape[0]
+
+    # t_inv_grid is descending in T i.e. ascending in... depends on storage
+    # order; the reference scans for the last index with t_inv_grid > t_inv.
+    # Grid temps are stored ascending-T => t_inv_grid is descending.  The
+    # "last index where tg > t_inv" on a descending array == searchsorted of
+    # -t_inv into -tg minus one, clamped to [0, ntemp-2].
+    gt = (tg[None, :] > t_inv[:, None]).astype(jnp.int32)
+    any_gt = gt.sum(axis=1) > 0
+    last_gt = jnp.where(any_gt,
+                        ntemp - 1 - jnp.argmax(gt[:, ::-1], axis=1), 0)
+    t_low = jnp.minimum(last_gt, ntemp - 2)
+    t_hi = t_low + 1
+
+    npress = pg.shape[0]
+    le = (pg[None, :] <= p_log[:, None]).astype(jnp.int32)
+    any_le = le.sum(axis=1) > 0
+    last_le = jnp.where(any_le,
+                        npress - 1 - jnp.argmax(le[:, ::-1], axis=1), 0)
+    # ragged-pressure guard: min(ilo, nc_p[t_hi] - 3)  (optics.py:2094-2099)
+    p_low = jnp.minimum(last_le, pt.nc_p[t_hi] - 3)
+    p_low = jnp.maximum(p_low, 0)
+    p_hi = p_low + 1
+
+    t_w = ((t_inv - tg[t_low]) / (tg[t_hi] - tg[t_low]))
+    p_w = ((p_log - pg[p_low]) / (pg[p_hi] - pg[p_low]))
+
+    idx = jnp.stack([pt.t_offset[t_low] + p_low,
+                     pt.t_offset[t_hi] + p_low,
+                     pt.t_offset[t_low] + p_hi,
+                     pt.t_offset[t_hi] + p_hi], axis=0)
+    return t_w, p_w, idx
+
+
+AVOGADRO = 6.02214086e+23  # value baked into optics.py:2294
+
+
+@jax.jit
+def interp_molecular(opa: OpacityGrid, tlayer, player_bar):
+    """All molecules' cross sections at every layer: [nmol, nlayer, nwno].
+
+    Bilinear interpolation in (1/T, log10 P) on log10 opacity, then 10**x
+    times Avogadro => cm^2/g per unit mixing-ratio mass (optics.py:2290-2294).
+    The gather is [nmol, 4*nlayer, nwno] from HBM — contiguous in the
+    wavenumber lane axis, so it streams at full HBM bandwidth.
+    """
+    t_w, p_w, idx = _find_indices(opa.pt, tlayer, player_bar)
+    k = opa.log_kappa[:, idx, :]    # [nmol, 4, nlayer, nwno]
+    w = jnp.stack([(1 - t_w) * (1 - p_w),
+                   t_w * (1 - p_w),
+                   t_w * p_w,
+                   (1 - t_w) * p_w], axis=0)     # [4, nlayer]
+    logk = jnp.einsum('mqlw,ql->mlw', k, w.astype(k.dtype))
+    return 10.0 ** logk * AVOGADRO
+
+
+@jax.jit
+def nearest_continuum(opa: OpacityGrid, tlayer):
+    """Continuum opacity at the nearest CIA temperature: [ncont, nlayer, nwno].
+
+    Mirrors optics.py:2296-2306 (nearest-neighbour in T, raw values).
+    """
+    it = jnp.argmin(jnp.abs(opa.cia_temps[None, :] - tlayer[:, None]), axis=1)
+    return opa.cont_opa[:, it, :]
