@@ -67,16 +67,32 @@ class PTGrid(NamedTuple):
     t_offset: jnp.ndarray      # [ntemp] cumulative start index into the flat grid
 
 
+@jax.tree_util.register_pytree_node_class
 class OpacityGrid(NamedTuple):
-    """Device-resident opacity data for one monochromatic database."""
+    """Device-resident opacity data for one monochromatic database.
+
+    A registered pytree: the arrays are traced children, the molecule-name
+    tuples are static aux data (so an OpacityGrid can be passed straight
+    into jitted functions).
+    """
     wno: jnp.ndarray               # [nwno]
     log_kappa: jnp.ndarray         # [nmol, npt, nwno] log10 cm^2/molecule
     pt: PTGrid
     cont_opa: jnp.ndarray          # [ncont, ntcia, nwno] linear cm^-1 amagat^-2 etc
     cia_temps: jnp.ndarray         # [ntcia]
-    # host-side metadata (not traced)
+    # host-side metadata (static, not traced)
     molecules: tuple
     continuum_molecules: tuple
+
+    def tree_flatten(self):
+        children = (self.wno, self.log_kappa, self.pt, self.cont_opa,
+                    self.cia_temps)
+        aux = (self.molecules, self.continuum_molecules)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def load_opacity_db(db_filename, wave_range=None, resample=1,
@@ -199,10 +215,12 @@ def _find_indices(pt: PTGrid, tlayer, player_bar):
     t_w = ((t_inv - tg[t_low]) / (tg[t_hi] - tg[t_low]))
     p_w = ((p_log - pg[p_low]) / (pg[p_hi] - pg[p_low]))
 
+    # order matches the reference weight pairing (optics.py:2290-2293):
+    # (t_low,p_low), (t_hi,p_low), (t_hi,p_hi), (t_low,p_hi)
     idx = jnp.stack([pt.t_offset[t_low] + p_low,
                      pt.t_offset[t_hi] + p_low,
-                     pt.t_offset[t_low] + p_hi,
-                     pt.t_offset[t_hi] + p_hi], axis=0)
+                     pt.t_offset[t_hi] + p_hi,
+                     pt.t_offset[t_low] + p_hi], axis=0)
     return t_w, p_w, idx
 
 

@@ -1,0 +1,158 @@
+"""Opacity factory: build opacity databases (offline tooling).
+
+TPU-analog of the reference ``opacity_factory.py``: writes sqlite databases
+in the exact schema consumed by :mod:`picaso_tpu.opacities.db` (and by the
+reference itself), and also builds *synthetic but physically-shaped*
+opacity sets in memory for tests and benchmarks — deterministic pseudo-line
+bands with temperature/pressure broadening, spanning the same ~1e-33..1e-18
+cm^2/molecule dynamic range as real cross sections.
+
+Schema (matches reference opacity_factory.py:622-740):
+  header(id, pressure_unit, temperature_unit, wavenumber_grid array, ...)
+  molecular(id, molecule TEXT, ptid INT, pressure FLOAT, temperature FLOAT,
+            opacity array)
+  continuum(id, molecule TEXT, temperature FLOAT, opacity array)
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import zlib
+from typing import Sequence
+
+import numpy as np
+
+from .db import PTGrid, OpacityGrid, _adapt_array
+
+__all__ = ['synthetic_cross_sections', 'build_synthetic_db',
+           'synthetic_opacity_grid', 'default_pt_grid']
+
+
+def default_pt_grid(ntemp=20, npress=15):
+    """A regular (T, P) grid shaped like the 1060 grid (same per-T count)."""
+    temps = np.linspace(75, 3400, ntemp)
+    pressures = np.logspace(-6, 3, npress)   # bar
+    return temps, pressures
+
+
+def synthetic_cross_sections(molecule, wno, temps, pressures, seed=1234,
+                             n_bands=12):
+    """Deterministic band-structured cross sections sigma(T, P, wno).
+
+    Lorentzian-envelope bands whose strength scales with T (Boltzmann-ish)
+    and whose width scales with P (pressure broadening) — not real physics,
+    but the right shape/dynamic range to exercise interpolation, resampling
+    and RT end-to-end.  Returns [ntemp, npress, nwno] in cm^2/molecule.
+    """
+    rng = np.random.default_rng(zlib.crc32(molecule.encode()) + seed)
+    wmin, wmax = wno.min(), wno.max()
+    centers = rng.uniform(wmin, wmax, n_bands)
+    widths = rng.uniform(0.01, 0.08, n_bands) * (wmax - wmin)
+    strengths = 10 ** rng.uniform(-26, -21, n_bands)
+    t_exp = rng.uniform(-1.0, 1.5, n_bands)
+
+    sigma = np.zeros((len(temps), len(pressures), len(wno)))
+    base = 1e-33  # floor continuum
+    for it, T in enumerate(temps):
+        for ip, P in enumerate(pressures):
+            broad = 1.0 + 0.15 * np.log10(max(P, 1e-6) / 1e-6)
+            s = np.zeros(len(wno)) + base * (T / 1000.0)
+            for c, w, amp, te in zip(centers, widths, strengths, t_exp):
+                s = s + (amp * (T / 1000.0) ** te
+                         / (1.0 + ((wno - c) / (w * broad)) ** 2))
+            sigma[it, ip] = s
+    return sigma
+
+
+def build_synthetic_db(filename, wno, molecules=('H2O', 'CH4', 'CO', 'NH3'),
+                       continuum=('H2H2', 'H2He'), ntemp=8, npress=6,
+                       cia_temps=None, seed=1234):
+    """Write a reference-schema sqlite DB with synthetic opacities."""
+    temps, pressures = default_pt_grid(ntemp, npress)
+    if cia_temps is None:
+        cia_temps = np.linspace(100, 3000, 10)
+
+    sqlite3.register_adapter(np.ndarray, _adapt_array)
+    conn = sqlite3.connect(filename, detect_types=sqlite3.PARSE_DECLTYPES)
+    cur = conn.cursor()
+    cur.execute('CREATE TABLE header (id INTEGER PRIMARY KEY, '
+                'pressure_unit VARCHAR, temperature_unit VARCHAR, '
+                'wavenumber_grid array, continuum_unit VARCHAR, '
+                'molecular_unit VARCHAR)')
+    cur.execute('INSERT INTO header (pressure_unit, temperature_unit, '
+                'wavenumber_grid, continuum_unit, molecular_unit) '
+                'VALUES (?,?,?,?,?)',
+                ('bar', 'kelvin', np.asarray(wno, np.float64),
+                 'cm-1 amagat-2', 'cm2/molecule'))
+    cur.execute('CREATE TABLE molecular (id INTEGER PRIMARY KEY, '
+                'molecule VARCHAR, ptid INTEGER, pressure FLOAT, '
+                'temperature FLOAT, opacity array)')
+    cur.execute('CREATE TABLE continuum (id INTEGER PRIMARY KEY, '
+                'molecule VARCHAR, temperature FLOAT, opacity array)')
+
+    for mol in molecules:
+        sigma = synthetic_cross_sections(mol, np.asarray(wno), temps,
+                                         pressures, seed=seed)
+        ptid = 0
+        for it, T in enumerate(temps):
+            for ip, P in enumerate(pressures):
+                ptid += 1
+                cur.execute('INSERT INTO molecular (molecule, ptid, '
+                            'pressure, temperature, opacity) '
+                            'VALUES (?,?,?,?,?)',
+                            (mol, ptid, float(P), float(T),
+                             sigma[it, ip].astype(np.float64)))
+    wno_arr = np.asarray(wno)
+    for mol in continuum:
+        rng = np.random.default_rng(zlib.crc32(mol.encode()))
+        shape = 10 ** (-8 + 2 * np.sin(wno_arr / wno_arr.max() * 6
+                                       + rng.uniform(0, 3)))
+        for T in cia_temps:
+            cur.execute('INSERT INTO continuum (molecule, temperature, '
+                        'opacity) VALUES (?,?,?)',
+                        (mol, float(T),
+                         (shape * (T / 1000.0) ** 0.5).astype(np.float64)))
+    conn.commit()
+    conn.close()
+    return filename
+
+
+def synthetic_opacity_grid(wno, molecules=('H2O', 'CH4', 'CO', 'NH3'),
+                           continuum=('H2H2', 'H2He'), ntemp=8, npress=6,
+                           seed=1234, dtype=np.float32) -> OpacityGrid:
+    """Build an in-memory OpacityGrid directly (no sqlite round trip).
+
+    Used by bench.py for full-resolution (nwno~5e4) runs where writing a
+    multi-GB sqlite file first would dominate setup time.
+    """
+    import jax.numpy as jnp
+
+    wno = np.asarray(wno, np.float64)
+    temps, pressures = default_pt_grid(ntemp, npress)
+    npt = ntemp * npress
+    log_kappa = np.zeros((len(molecules), npt, len(wno)), dtype)
+    for im, mol in enumerate(molecules):
+        sigma = synthetic_cross_sections(mol, wno, temps, pressures,
+                                         seed=seed)
+        log_kappa[im] = np.log10(
+            np.where(sigma > 0, sigma, 1e-50)).reshape(npt, -1)
+
+    cia_temps = np.linspace(100, 3000, 10)
+    cont = np.zeros((len(continuum), len(cia_temps), len(wno)), dtype)
+    for im, mol in enumerate(continuum):
+        rng = np.random.default_rng(zlib.crc32(mol.encode()))
+        shape = 10 ** (-8 + 2 * np.sin(wno / wno.max() * 6
+                                       + rng.uniform(0, 3)))
+        for it, T in enumerate(cia_temps):
+            cont[im, it] = shape * (T / 1000.0) ** 0.5
+
+    nc_p = np.full(ntemp, npress, np.int32)
+    t_offset = np.concatenate([[0], np.cumsum(nc_p)[:-1]]).astype(np.int32)
+    pt = PTGrid(t_inv_grid=jnp.asarray(1.0 / temps, dtype),
+                p_log_grid=jnp.asarray(np.log10(pressures), dtype),
+                nc_p=jnp.asarray(nc_p), t_offset=jnp.asarray(t_offset))
+    return OpacityGrid(wno=jnp.asarray(wno), log_kappa=jnp.asarray(log_kappa),
+                       pt=pt, cont_opa=jnp.asarray(cont),
+                       cia_temps=jnp.asarray(cia_temps, dtype),
+                       molecules=tuple(molecules),
+                       continuum_molecules=tuple(continuum))
