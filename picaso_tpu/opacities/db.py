@@ -243,7 +243,9 @@ def interp_molecular(opa: OpacityGrid, tlayer, player_bar):
                    t_w * p_w,
                    (1 - t_w) * p_w], axis=0)     # [4, nlayer]
     logk = jnp.einsum('mqlw,ql->mlw', k, w.astype(k.dtype))
-    return 10.0 ** logk * AVOGADRO
+    # fold the Avogadro scaling into the exponent: 10**-50 underflows f32,
+    # 10**(-50 + 23.78) does not — keeps the full dynamic range on TPU
+    return 10.0 ** (logk + float(np.log10(AVOGADRO)))
 
 
 @jax.jit

@@ -1,0 +1,89 @@
+"""Device-mesh parallelism for spectra, phase curves, and retrievals.
+
+The reference scales by joblib processes and MPI ranks (SURVEY.md §2.4);
+here the parallel axes are proper mesh axes of single SPMD programs:
+
+* ``wave``  — the wavelength grid (nwno up to ~5e4 monochromatic points) is
+  embarrassingly parallel through the whole RT stack: every kernel treats
+  wavelength as the vector axis, so sharding it across ICI needs zero
+  collectives until the final spectral integrals (bond albedo, Teff), which
+  XLA lowers to a single psum over the wave axis.
+* ``batch`` — independent scenes (phase-curve points, grid-fit members,
+  retrieval live points) vmapped and sharded data-parallel.
+
+Shard layout: every [..., nwno] array splits on its last axis; the opacity
+grid's [nmol, npt, nwno] cube likewise, so each chip holds only its slice of
+the database (the key to fitting full-resolution opacities in HBM).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .opacities.db import OpacityGrid, PTGrid
+from .pipeline import SceneTensors, forward
+
+__all__ = ['make_mesh', 'shard_scene', 'shard_grid', 'sharded_forward']
+
+
+def make_mesh(n_wave=None, n_batch=1, devices=None):
+    """('batch', 'wave') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_wave is None:
+        n_wave = len(devices) // n_batch
+    dev = np.asarray(devices[:n_batch * n_wave]).reshape(n_batch, n_wave)
+    return Mesh(dev, axis_names=('batch', 'wave'))
+
+
+def _wave_sharded_fields():
+    """SceneTensors fields carrying a trailing wavelength axis."""
+    return {'cld_opd', 'cld_g0', 'cld_w0', 'sigma_ray', 'F0PI',
+            'surf_reflect'}
+
+
+def shard_scene(scene: SceneTensors, mesh: Mesh,
+                batched: bool = False) -> SceneTensors:
+    """Place scene arrays: wave-sharded where they have a wno axis,
+    replicated otherwise.  With ``batched`` the leading axis is the batch
+    axis and shards over 'batch'."""
+    lead = ('batch',) if batched else ()
+    out = {}
+    for name, val in scene._asdict().items():
+        if name in _wave_sharded_fields():
+            spec = P(*lead, *((None,) * (val.ndim - 1 - len(lead))), 'wave')
+        else:
+            spec = P(*lead) if batched and val.ndim else P()
+        out[name] = jax.device_put(val, NamedSharding(mesh, spec))
+    return SceneTensors(**out)
+
+
+def shard_grid(grid: OpacityGrid, mesh: Mesh) -> OpacityGrid:
+    """Shard the opacity database cube over the wave axis of the mesh."""
+    s_wave3 = NamedSharding(mesh, P(None, None, 'wave'))
+    s_wave1 = NamedSharding(mesh, P('wave'))
+    rep = NamedSharding(mesh, P())
+    return OpacityGrid(
+        wno=jax.device_put(grid.wno, s_wave1),
+        log_kappa=jax.device_put(grid.log_kappa, s_wave3),
+        pt=PTGrid(*(jax.device_put(x, rep) for x in grid.pt)),
+        cont_opa=jax.device_put(grid.cont_opa, s_wave3),
+        cia_temps=jax.device_put(grid.cia_temps, rep),
+        molecules=grid.molecules,
+        continuum_molecules=grid.continuum_molecules)
+
+
+def sharded_forward(scene, grid, config, mesh):
+    """Run the fused pipeline SPMD over the mesh.
+
+    Inputs must be placed with shard_scene/shard_grid; jit then propagates
+    the wave sharding through every kernel (the layer scans are local to
+    each shard — no communication until any cross-wavelength reduction).
+    """
+    # inputs carry NamedShardings; jit propagates them through the program
+    del mesh
+    return forward(scene, grid, config)

@@ -1,0 +1,273 @@
+"""Fused, fully-jittable spectrum pipeline.
+
+One XLA program computes opacity interpolation -> optics fusion -> RT ->
+disk integration for all requested calculations.  This is the hot path the
+benchmarks and the multi-chip sharding run through; the friendly ``inputs``
+API (:mod:`picaso_tpu.justdoit`) builds the same pieces stepwise for
+debuggability.
+
+Everything data-dependent is a traced array in :class:`SceneTensors`;
+everything that changes program structure (molecule index maps, continuum
+pair kinds, phase-function options) is static in :class:`SpectrumConfig`.
+That split is the jit analog of the reference's string->int enum compilation
+for numba (justdoit.py:4635-4738) — and it means a retrieval can update
+temperatures/abundances and re-run with zero recompilation and zero host
+work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import AMU, K_B, PCONV
+from .opacities import assemble
+from .opacities.db import OpacityGrid, interp_molecular, nearest_continuum
+from .optics import combine_optics
+from .rt import toon
+from .rt.transit import transit_depth
+from . import disco as disco_mod
+
+__all__ = ['SceneTensors', 'SpectrumConfig', 'forward', 'scene_from_case']
+
+
+class SceneTensors(NamedTuple):
+    """All traced per-scene arrays (CGS)."""
+    tlevel: jnp.ndarray          # [nlevel]
+    plevel: jnp.ndarray          # [nlevel] dyne/cm^2
+    tlayer: jnp.ndarray          # [nlayer]
+    player: jnp.ndarray          # [nlayer] dyne/cm^2
+    colden: jnp.ndarray          # [nlayer] g/cm^2
+    mmw_layer: jnp.ndarray       # [nlayer] amu
+    mix: jnp.ndarray             # [nmol, nlayer] mixing ratios
+    electrons: jnp.ndarray       # [nlayer]
+    z: jnp.ndarray               # [nlevel] cm
+    dz: jnp.ndarray              # [nlevel] cm
+    cld_opd: jnp.ndarray         # [nlayer, nwno]
+    cld_g0: jnp.ndarray
+    cld_w0: jnp.ndarray
+    sigma_ray: jnp.ndarray       # [nray, nwno] rayleigh cross sections
+    mix_ray: jnp.ndarray         # [nray, nlayer]
+    ubar0: jnp.ndarray           # [ng, nt]
+    ubar1: jnp.ndarray
+    gweight: jnp.ndarray
+    tweight: jnp.ndarray
+    F0PI: jnp.ndarray            # [nwno]
+    surf_reflect: jnp.ndarray    # [nwno]
+    rstar: jnp.ndarray           # scalar (cm)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrumConfig:
+    """Static compilation-defining options."""
+    mol_indices: Tuple[int, ...]          # rows of grid.log_kappa to use
+    continuum_specs: Tuple[assemble.ContinuumSpec, ...]
+    cont_indices: Tuple[int, ...]         # rows of grid.cont_opa per spec
+    mix_index: Tuple[Tuple[str, int], ...]  # molecule name -> row in mix
+    controls: toon.ScatteringControls = toon.ScatteringControls()
+    raman: int = 2                        # 0 oklopcic 1 pollack 2 none
+    delta_eddington: bool = True
+    stream: int = 2
+    test_mode: Optional[str] = None
+    cos_theta: float = 1.0
+    hard_surface: bool = False
+    reflected: bool = True
+    thermal: bool = True
+    transmission: bool = False
+
+    def mix_row(self, name):
+        return dict(self.mix_index)[name]
+
+
+def _raman_factor(config, scene, nwno, raman_pollack_row=None):
+    if config.raman == 1 and raman_pollack_row is not None:
+        return jnp.broadcast_to(raman_pollack_row[None, :],
+                                (scene.tlayer.shape[0], nwno))
+    return jnp.full((scene.tlayer.shape[0], nwno), 0.99999,
+                    scene.cld_opd.dtype)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def forward(scene: SceneTensors, grid: OpacityGrid,
+            config: SpectrumConfig):
+    """Full 1D spectrum in one compiled program.
+
+    Returns a dict of device arrays: albedo [nwno], thermal flux [nwno],
+    transit depth [nwno] (keys present per config flags).
+    """
+    nwno = grid.wno.shape[0]
+    nlayer = scene.tlayer.shape[0]
+    dtype = scene.cld_opd.dtype
+
+    # ---- gas optics (HBM gather + fused arithmetic) ----
+    kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
+    kappa = kappa[jnp.asarray(config.mol_indices)]
+    mix_cols = scene.mix[jnp.asarray([dict(config.mix_index)[grid.molecules[i]]
+                                      for i in config.mol_indices])]
+    taugas = assemble.molecular_tau(kappa, mix_cols, scene.colden,
+                                    scene.mmw_layer)
+    if config.continuum_specs:
+        cont = nearest_continuum(grid, scene.tlayer)
+        # layer gravity recovered from the column-density definition
+        # colden = dP/g (atmsetup.py:549-555)
+        gravity_layer = (scene.plevel[1:] - scene.plevel[:-1]) / scene.colden
+        coef1 = assemble.amagat_coef1(
+            scene.tlevel, scene.plevel / PCONV, scene.tlayer,
+            scene.player / PCONV, gravity_layer, scene.mmw_layer)
+        mix_named = {name: scene.mix[row] for name, row in config.mix_index}
+        cont_kappa = {spec.name: cont[ci] for spec, ci in
+                      zip(config.continuum_specs, config.cont_indices)}
+        for spec in config.continuum_specs:
+            for m in (spec.mol1, spec.mol2):
+                if m and m not in mix_named:
+                    mix_named[m] = jnp.zeros(nlayer, dtype)
+        taugas = taugas + assemble.continuum_tau(
+            config.continuum_specs, cont_kappa, mix_named, scene.electrons,
+            coef1, scene.player, scene.tlayer, scene.colden,
+            scene.mmw_layer)
+
+    tauray = assemble.rayleigh_tau(scene.sigma_ray, scene.mix_ray,
+                                   scene.colden, scene.mmw_layer)
+    rf = _raman_factor(config, scene, nwno)
+
+    props = combine_optics(taugas.astype(dtype), tauray.astype(dtype),
+                           scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,
+                           test_mode=config.test_mode,
+                           delta_eddington=config.delta_eddington,
+                           stream=config.stream)
+
+    out = {}
+    if config.reflected:
+        xint, _ = toon.reflected_1d(
+            props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
+            props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
+            props.w0_og, props.cosb_og, scene.surf_reflect, scene.ubar0,
+            scene.ubar1, config.cos_theta, scene.F0PI,
+            controls=config.controls, get_toa_intensity=True,
+            get_lvl_flux=False)
+        out['albedo'] = disco_mod.compress_disco(
+            xint, scene.gweight, scene.tweight, config.cos_theta,
+            scene.F0PI)
+    if config.thermal:
+        flux_top, _ = toon.thermal_1d(
+            scene.tlevel, props.dtau_og, props.w0_no_raman, props.cosb_og,
+            scene.plevel, scene.ubar1, scene.surf_reflect, grid.wno,
+            dwno=jnp.zeros(nwno), hard_surface=config.hard_surface,
+            calc_type=0)
+        out['thermal'] = disco_mod.compress_thermal(
+            flux_top, scene.gweight, scene.tweight)
+    if config.transmission:
+        out['transit_depth'] = transit_depth(
+            scene.z, scene.dz, scene.rstar, scene.mmw_layer, scene.plevel,
+            scene.tlevel, scene.colden, props.dtau_og)
+    return out
+
+
+def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
+                      gravity, radius=np.nan, mass=np.nan, p_reference=1.0,
+                      num_gangle=10, cld=None, F0PI=None, rstar=np.nan,
+                      rayleigh_species=None, dtype=np.float32):
+    """Build (SceneTensors, SpectrumConfig) from plain arrays.
+
+    Host-side, once per scene structure; afterwards ``forward`` is pure
+    device compute.
+    """
+    from .atmosphere import build_atmosphere
+    from .rayleigh import rayleigh_sigma_table, RAYLEIGH_MOLECULES
+
+    prof = {'pressure': profile_bar, 'temperature': t_level}
+    prof.update(mix_named)
+    wno = np.asarray(grid.wno)
+    atm = build_atmosphere(prof, gravity=gravity, radius=radius, mass=mass,
+                           p_reference=p_reference, wno=wno,
+                           cld_profile=cld, cld_wno=None if cld is None
+                           else wno)
+    geom = disco_mod.make_geometry(0.0, num_gangle=num_gangle, num_tangle=1)
+
+    used = [m for m in atm.molecules if m in grid.molecules]
+    mol_indices = tuple(grid.molecules.index(m) for m in used)
+    mix_index = tuple((m, i) for i, m in enumerate(atm.molecules))
+    pairs = atm.continuum_pairs(grid.continuum_molecules)
+    specs = tuple(assemble.classify_continuum(pairs))
+    cont_indices = tuple(grid.continuum_molecules.index(s.name)
+                         for s in specs)
+
+    ray_species = (rayleigh_species if rayleigh_species is not None
+                   else atm.rayleigh_species(RAYLEIGH_MOLECULES))
+    sig_table = rayleigh_sigma_table(wno, ray_species)
+    sigma_ray = (np.stack([sig_table[m] for m in ray_species])
+                 if ray_species else np.zeros((0, len(wno))))
+    mix_ray = (np.stack([atm.mixing_ratio_layer(m) for m in ray_species])
+               if ray_species else np.zeros((0, atm.nlayer)))
+
+    nwno = len(wno)
+    zeros_cld = np.zeros((atm.nlayer, nwno), dtype)
+    scene = SceneTensors(
+        tlevel=jnp.asarray(atm.temperature, dtype),
+        plevel=jnp.asarray(atm.pressure, dtype),
+        tlayer=jnp.asarray(atm.t_layer, dtype),
+        player=jnp.asarray(atm.p_layer, dtype),
+        colden=jnp.asarray(atm.colden, dtype),
+        mmw_layer=jnp.asarray(atm.mmw_layer, dtype),
+        mix=jnp.asarray(atm.mixingratios_layer.T, dtype),
+        electrons=jnp.asarray(atm.electrons_layer
+                              if atm.electrons_layer is not None
+                              else np.zeros(atm.nlayer), dtype),
+        z=jnp.asarray(atm.z, dtype), dz=jnp.asarray(atm.dz, dtype),
+        cld_opd=jnp.asarray(atm.cld_opd if atm.cld_opd is not None
+                            else zeros_cld, dtype),
+        cld_g0=jnp.asarray(atm.cld_g0 if atm.cld_g0 is not None
+                           else zeros_cld, dtype),
+        cld_w0=jnp.asarray(atm.cld_w0 if atm.cld_w0 is not None
+                           else zeros_cld, dtype),
+        sigma_ray=jnp.asarray(sigma_ray, dtype),
+        mix_ray=jnp.asarray(mix_ray, dtype),
+        ubar0=jnp.asarray(geom.ubar0, dtype),
+        ubar1=jnp.asarray(geom.ubar1, dtype),
+        gweight=jnp.asarray(geom.gweight, dtype),
+        tweight=jnp.asarray(geom.tweight, dtype),
+        F0PI=jnp.asarray(F0PI if F0PI is not None else np.ones(nwno),
+                         dtype),
+        surf_reflect=jnp.zeros(nwno, dtype),
+        rstar=jnp.asarray(rstar, dtype))
+    config = SpectrumConfig(mol_indices=mol_indices,
+                            continuum_specs=specs,
+                            cont_indices=cont_indices,
+                            mix_index=mix_index,
+                            transmission=np.isfinite(rstar))
+    return scene, config
+
+
+def scene_from_case(case, opa, dtype=np.float32):
+    """SceneTensors/SpectrumConfig from a justdoit.inputs bundle."""
+    import pandas as pd
+    prof = case.inputs['atmosphere']['profile']
+    mix = {c: np.asarray(prof[c]) for c in prof.keys()
+           if c not in ('pressure', 'temperature')}
+    cld = None
+    if case.inputs['clouds'].get('profile') is not None:
+        from .wavelength import regrid
+        cp = case.inputs['clouds']['profile']
+        nlayer = len(prof['pressure']) - 1
+        cld_wno = case.inputs['clouds']['wavenumber']
+        cld = {}
+        for k in ('opd', 'g0', 'w0'):
+            m = np.reshape(np.asarray(cp[k]), (nlayer, len(cld_wno)))
+            cld[k] = regrid(m, cld_wno, np.asarray(opa.wno)).ravel()
+    planet = case.inputs['planet']
+    return scene_from_arrays(
+        np.asarray(prof['pressure']), np.asarray(prof['temperature']), mix,
+        opa.grid, gravity=planet['gravity'] or np.nan,
+        radius=planet['radius'] or np.nan, mass=planet['mass'] or np.nan,
+        p_reference=case.inputs['approx']['p_reference'],
+        cld=cld,
+        F0PI=(np.asarray(opa.relative_flux)
+              if opa.relative_flux is not None else None),
+        rstar=case.inputs['star'].get('radius', np.nan)
+        if isinstance(case.inputs['star'].get('radius'), float) else np.nan,
+        dtype=dtype)
