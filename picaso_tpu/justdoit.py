@@ -131,6 +131,11 @@ class Opacity:
         if ck is not None:
             self.delta_wno = np.asarray(ck.delta_wno)
 
+    @property
+    def full_abunds(self):
+        """CK chemistry table (None for monochromatic connections)."""
+        return self.ck.full_abunds if self.ck is not None else None
+
     def compute_stellar_shifts(self, wno_star, flux_star):
         shifts, unshifted = raman_mod.compute_stellar_shifts(
             self.wno, self.raman_db, wno_star, flux_star)
@@ -140,7 +145,7 @@ class Opacity:
 
 def opannection(wave_range=None, filename_db=None, raman_db=None,
                 resample=1, method='resampled', ck_db=None, wno_grid=None,
-                molecules=None, verbose=True, **kwargs):
+                molecules=None, verbose=True, ck_table=None, **kwargs):
     """Connect to an opacity source (TPU analog of justdoit.py:1296-1419).
 
     Parameters
@@ -170,12 +175,14 @@ def opannection(wave_range=None, filename_db=None, raman_db=None,
             wno = wno[sel]
         return Opacity(wno, grid=None, raman_db=raman_table)
 
-    if method in ('preweighted', 'resortrebin'):
-        from .opacities.ck import load_ck_db
-        ck = load_ck_db(ck_db, method=method, **kwargs)
-        return Opacity(ck.wno, grid=None, raman_db=raman_table,
-                       ngauss=ck.ngauss, gauss_wts=np.asarray(ck.gauss_wts),
-                       ck=ck)
+    if ck_table is not None or method in ('preweighted', 'resortrebin'):
+        if ck_table is None:
+            from .opacities.ck import load_ck_db
+            ck_table = load_ck_db(ck_db, method=method, **kwargs)
+        return Opacity(ck_table.wno, grid=None, raman_db=raman_table,
+                       ngauss=ck_table.ngauss,
+                       gauss_wts=np.asarray(ck_table.gauss_wts),
+                       ck=ck_table)
 
     if filename_db is None:
         default = None
@@ -411,11 +418,26 @@ class inputs:
         self.inputs['atmosphere']['profile'] = df
         self.nlevel = df.shape[0]
 
-    def premix_atmosphere(self, opa, df=None):  # chemistry milestone
-        from .chemistry import premix_atmosphere as _premix
+    def premix_atmosphere(self, opa=None, df=None, quench_levels=None,
+                          verbose=True):
+        """Set equilibrium chemistry from the opacity connection's
+        full_abunds table (justdoit.py:2237-2282 semantics)."""
+        from . import chemistry as chem_mod
+        table = None
+        if opa is not None and getattr(opa, 'ck', None) is not None:
+            table = opa.ck.full_abunds
+        if table is None:
+            raise ValueError('premix_atmosphere needs a CK connection with '
+                             'a full_abunds chemistry table')
         prof = df if df is not None else self.inputs['atmosphere']['profile']
-        out = _premix(prof, mh=self.inputs['atmosphere'].get('mh', 0),
-                      cto=self.inputs['atmosphere'].get('cto', 1))
+        grid = chem_mod.chem_grid_from_table(table)
+        abunds = np.asarray(chem_mod.chem_interp(
+            grid, jnp.asarray(np.asarray(prof['temperature'], float)),
+            jnp.asarray(np.asarray(prof['pressure'], float))))
+        out = pd.DataFrame({'pressure': np.asarray(prof['pressure']),
+                            'temperature': np.asarray(prof['temperature'])})
+        for i, sp in enumerate(grid.species):
+            out[sp] = abunds[:, i]
         self.inputs['atmosphere']['profile'] = out
         self.nlevel = out.shape[0]
         return out

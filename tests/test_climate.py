@@ -1,0 +1,112 @@
+"""Climate solver tests: components + end-to-end RCE convergence.
+
+The reference ships no climate unit tests; we anchor with physics:
+(1) the adiabat lookup reproduces table nodes, (2) profile reconstruction
+follows the adiabat in convective zones, (3) a cloud-free brown-dwarf RCE
+run converges to a net-flux balance |F_net/sigma Teff^4| << 1 with a
+monotonic T(P) profile, using a synthetic premixed CK table + the real
+bundled CIA continuum database.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from picaso_tpu import justdoit as jdi
+from picaso_tpu.climate import core
+from picaso_tpu.climate.adiabat import load_adiabat_grid, did_grad_cp
+from picaso_tpu.opacities.ck import synthetic_ck_table
+
+
+def test_adiabat_grid_nodes():
+    grid = load_adiabat_grid()
+    t_log = np.asarray(grid.t_table)
+    p_log = np.asarray(grid.p_table)
+    # query exactly at interior nodes -> exact table values
+    it, ip = 20, 10
+    g, cp = did_grad_cp(10 ** t_log[it], 10 ** p_log[ip], grid)
+    assert np.isclose(float(g), float(grid.grad[it, ip]), rtol=1e-6)
+    assert np.isclose(float(cp), 10 ** float(grid.cp[it, ip]), rtol=1e-6)
+    # clamping outside the grid must not produce NaN
+    g2, cp2 = did_grad_cp(jnp.asarray([1.0, 1e6]),
+                          jnp.asarray([1e-12, 1e9]), grid)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_reconstruct_profile_follows_adiabat():
+    adiabat = load_adiabat_grid()
+    nlevel = 40
+    plevel = np.logspace(-4, 2, nlevel) * 1e6
+    beta = np.linspace(600, 1200, nlevel)
+    nstr = [0, 19, nlevel - 2, 0, 0, 0]
+    zones = core.zone_maps(nstr, 1, nlevel)
+    temp = np.asarray(core.reconstruct_profile(
+        jnp.asarray(beta), zones, jnp.asarray(plevel), adiabat))
+    # radiative region untouched
+    np.testing.assert_allclose(temp[:20], beta[:20])
+    # convective region follows the adiabat step by step
+    p_bar = plevel / 1e6
+    for j in range(20, nlevel):
+        pm = np.sqrt(p_bar[j - 1] * p_bar[j])
+        g, _ = did_grad_cp(temp[j - 1], pm, adiabat)
+        expect = np.exp(np.log(temp[j - 1])
+                        + float(g) * np.log(p_bar[j] / p_bar[j - 1]))
+        assert np.isclose(temp[j], expect, rtol=1e-10)
+
+
+def test_zone_maps_packing():
+    nstr = [0, 5, 20, 0, 0, 0]
+    z = core.zone_maps(nstr, 1, 30)
+    assert int(z.n_total) == 6           # level@0 + midpts 0..4
+    assert list(np.asarray(z.pert_levels[:6])) == [0, 1, 2, 3, 4, 5]
+    assert list(np.asarray(z.resid_level[:6])) == [0, 0, 1, 2, 3, 4]
+    assert list(np.asarray(z.resid_is_level[:6])) == [1, 0, 0, 0, 0, 0]
+    assert np.asarray(z.is_conv)[6:22].all()
+    assert not np.asarray(z.is_conv)[:6].any()
+
+    z2 = core.zone_maps([0, 5, 8, 12, 15, 28], 2, 30)
+    assert int(z2.n_total) == 6 + 3      # + midpts 12..14
+    assert list(np.asarray(z2.pert_levels[6:9])) == [13, 14, 15]
+
+
+@pytest.fixture(scope='module')
+def bd_case():
+    ck = synthetic_ck_table()
+    opa = jdi.opannection(ck_table=ck)
+    case = jdi.inputs(calculation='browndwarf', climate=True)
+    case.effective_temp(1000)
+    case.gravity(gravity=200, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    nlevel = 61
+    pressure = np.logspace(-4, 2.5, nlevel)
+    # crude guess: isothermal top + adiabat-ish bottom
+    temp_guess = np.clip(1000 * (pressure / 30) ** 0.1, 400, None)
+    case.inputs_climate(temp_guess=temp_guess, pressure=pressure,
+                        rcb_guess=40, rfacv=0.0)
+    return opa, case
+
+
+def test_brown_dwarf_rce_converges(bd_case):
+    opa, case = bd_case
+    out = case.climate(opa, verbose=False)
+    assert out['converged'] == 1
+    temp = out['temperature']
+    press = out['pressure']
+    assert np.isfinite(temp).all()
+    # monotonic increasing T with depth below the upper levels
+    assert (np.diff(temp[5:]) > -1e-6).all()
+    # energy balance: net flux within a few % of sigma*Teff^4 everywhere in
+    # the radiative zone above the RCB
+    fb = out['flux_balance']
+    sigT4 = core.SIGMA_SB * 1000.0 ** 4
+    nstr = out['cvz_locs']
+    resid = (fb['flux_net'][:max(nstr[1], 1)]) / sigT4
+    assert np.max(np.abs(resid)) < 0.05, resid
+    # the convective zone lapse rate tracks the adiabat
+    adiabat = load_adiabat_grid()
+    tbar = 0.5 * (temp[1:] + temp[:-1])
+    pbar = np.sqrt(press[1:] * press[:-1])
+    grad, _ = did_grad_cp(jnp.asarray(tbar), jnp.asarray(pbar), adiabat)
+    dtdp = out['dtdp']
+    conv = slice(nstr[1] + 1, nstr[2])
+    np.testing.assert_allclose(dtdp[conv], np.asarray(grad)[conv],
+                               rtol=0.05)
