@@ -142,6 +142,57 @@ class _ClimateState:
             is not None else np.ones(len(self.ck.wno)))
         self.all_profiles = []
 
+        # --- static + traced state for the fused single-dispatch path ---
+        from .. import molmass
+        from ..rayleigh import rayleigh_sigma_table, RAYLEIGH_MOLECULES
+        from . import fused
+
+        species = self.chem_grid.species
+        weights = tuple(molmass.molecular_weight(s) for s in species)
+        # continuum pair matching on the chem species (atmsetup.py:248-277)
+        pairs = []
+        for m1 in species:
+            for m2 in species:
+                if m1 + m2 in self.ck.continuum_molecules:
+                    pairs.append((m1, m2))
+        specs = tuple(assemble.classify_continuum(pairs))
+        cont_indices = tuple(
+            list(self.ck.continuum_molecules).index(s.name) for s in specs)
+        ray_species = [s for s in species if s in RAYLEIGH_MOLECULES]
+        ray_rows = tuple(species.index(s) for s in ray_species)
+        wno_np = np.asarray(self.ck.wno)
+        sig = rayleigh_sigma_table(wno_np, ray_species)
+        sigma_ray = (np.stack([sig[s] for s in ray_species])
+                     if ray_species else np.zeros((0, len(wno_np))))
+
+        nlevel = len(bundle.inputs['climate']['pressure'])
+        nlayer = nlevel - 1
+        nwno = len(wno_np)
+        self._config_base = dict(
+            species=species, weights=weights, continuum_specs=specs,
+            cont_indices=cont_indices, ray_species_rows=ray_rows,
+            controls=self.controls,
+            delta_eddington=common['delta_eddington'],
+            stream=common['stream'], compute_reflected=(rfacv != 0.0))
+        self.data = fused.ClimateData(
+            plevel=jnp.asarray(
+                np.asarray(bundle.inputs['climate']['pressure']) * PCONV),
+            gravity=jnp.asarray(float(self.gravity)),
+            tidal=jnp.asarray(tidal), rfaci=jnp.asarray(float(rfaci)),
+            rfacv=jnp.asarray(float(rfacv)), tmin=jnp.asarray(float(tmin)),
+            tmax=jnp.asarray(float(tmax)), F0PI=self.F0PI,
+            surf_reflect=self.surf_reflect,
+            sigma_ray=jnp.asarray(sigma_ray),
+            cld_opd=jnp.zeros((nlayer, nwno)),
+            cld_g0=jnp.zeros((nlayer, nwno)),
+            cld_w0=jnp.zeros((nlayer, nwno)))
+
+    def fused_config(self, it_max, egp_stepmax):
+        from . import fused
+        return fused.ClimateConfig(it_max=int(it_max),
+                                   egp_stepmax=bool(egp_stepmax),
+                                   **self._config_base)
+
     def premix(self, temp, pressure_bar):
         """Equilibrium-chemistry refresh at the current T(P)."""
         abunds = np.asarray(chemistry.chem_interp(
@@ -173,51 +224,42 @@ def _reconstruct_host(state, temp, pressure_bar, nstr, nofczns):
 def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
             it_max, itmx, conv, convt, x_max_mult, final,
             save_profile=False):
-    """One opacity-refresh loop around t_start (climate.py:2926-3249)."""
+    """One opacity-refresh loop around the fused Newton solve
+    (climate.py:2926-3249).  Each itmx iteration is ONE device dispatch of
+    climate.fused.profile_step."""
+    from . import fused
+
     temp = np.asarray(temp, float).copy()
-    min_temp = temp.min()
-    egp_stepmax = min_temp <= 250
+    egp_stepmax = bool(temp.min() <= 250)
+    zones = core.zone_maps(nstr, nofczns, len(temp))
+    config = state.fused_config(it_max=it_max, egp_stepmax=egp_stepmax)
 
-    # 0) re-grow convective zones along the adiabat
-    temp = _reconstruct_host(state, temp, pressure_bar, nstr, nofczns)
     temp_old = temp.copy()
-    if save_profile:
-        state.all_profiles.append(temp.copy())
-
-    # 1) chemistry + opacities at the new structure
-    df = state.premix(temp, pressure_bar)
-    props, atm = state.opacities(df)
-
     conv_flag = 0
     result = None
-    plevel = pressure_bar * PCONV
+    temp_dev = jnp.asarray(temp)
     for iii in range(itmx):
-        result = core.t_start(
-            temp, plevel, nstr, nofczns, props, state.geom, state.wno,
-            state.dwno, state.gauss_wts, state.surf_reflect, state.F0PI,
-            state.controls, state.adiabat, state.rfaci, state.rfacv,
-            state.tidal, state.tmin, state.tmax, it_max=it_max,
-            conv=conv, x_max_mult=x_max_mult, egp_stepmax=egp_stepmax,
-            verbose=state.verbose, save_profiles=save_profile)
-        temp = result.temp
+        temp_dev, converged, dtdp, fnil, fnvl, fpit = fused.profile_step(
+            temp_dev, zones, state.data, state.chem_grid, state.ck.arrays,
+            state.geom, state.adiabat, config)
+        temp = np.asarray(temp_dev)
         if save_profile:
-            state.all_profiles.extend(result.profiles)
-
-        # refresh chemistry + opacities at the new T
-        df = state.premix(temp, pressure_bar)
-        props, atm = state.opacities(df)
+            state.all_profiles.append(temp.copy())
 
         ert = float(np.abs(temp - temp_old).sum()) / (len(temp) * 1.5)
         temp_old = temp.copy()
         if state.verbose:
-            print(f' profile it {iii}: mean|dT| {ert:.3f} K '
-                  f'(conv {convt})')
+            print(f' profile it {iii}: mean|dT| {ert:.3f} K (conv {convt})')
+        result = (np.asarray(dtdp), np.asarray(fnil), np.asarray(fnvl),
+                  np.asarray(fpit))
         if iii > 0 and ert < convt:
             conv_flag = 1
             break
 
-    return (conv_flag, temp, result.dtdp, result.flux_net_ir,
-            result.flux_net_v, result.flux_plus_ir_top)
+    # refresh the bundle chemistry at the converged structure
+    state.premix(temp, pressure_bar)
+    dtdp, fnil, fnvl, fpit = result
+    return (conv_flag, temp, dtdp, fnil, fnvl, fpit)
 
 
 def find_strat(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
@@ -394,7 +436,8 @@ def run_climate(case, opacityclass, save_all_profiles=False,
     out = {
         'pressure': pressure, 'temperature': temp, 'ptchem_df': chem_df,
         'dtdp': dtdp, 'cvz_locs': nstr, 'flux_ir_attop': fpit,
-        'converged': flag, 'fnet/fnetir': flux_net / fni,
+        'converged': flag,
+        'fnet/fnetir': flux_net / np.where(fni != 0, fni, np.nan),
         'flux_balance': dict(flux_net_ir=fni, flux_net_v=fnv, tidal=tidal,
                              rfacv=rfacv, rfaci=rfaci, flux_net=flux_net),
     }
