@@ -910,7 +910,8 @@ def picaso(bundle, opacityclass, dimension='1d', calculation='reflected',
                 flux, _ = thermal_sh(
                     jnp.asarray(atm.temperature), p,
                     jnp.asarray(atm.pressure), ubar1, surf_reflect,
-                    stream=common['stream'], hard_surface=hard_surface)
+                    jnp.asarray(wno), stream=common['stream'],
+                    hard_surface=hard_surface)
                 lvl = None
             else:
                 flux, lvl = toon.thermal_1d(

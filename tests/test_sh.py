@@ -1,0 +1,133 @@
+"""Spherical-harmonics RT validation (Rooney et al. 2023a,b).
+
+Anchors: the Dlugach & Yanovitskij semi-infinite table (SH4 must beat the
+Toon two-stream at high asymmetry — the whole point of the method), the
+block-tridiagonal solver vs scipy's banded reference, and the thermal
+isothermal blackbody limit.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pandas as pd
+import pytest
+import scipy.linalg
+
+from picaso_tpu import disco, justdoit as jdi
+from picaso_tpu.refdata import refdata_path
+from picaso_tpu.rt.sh import block_tridiag_solve, thermal_sh
+
+NLEVEL = 60
+
+
+def test_block_tridiag_vs_dense():
+    rng = np.random.default_rng(3)
+    n, s, nw = 8, 4, 5
+    A = rng.standard_normal((n, s, s, nw))
+    B = rng.standard_normal((n, s, s, nw)) + 5 * np.eye(s)[None, :, :, None]
+    C = rng.standard_normal((n, s, s, nw))
+    D = rng.standard_normal((n, s, nw))
+    y = np.asarray(block_tridiag_solve(jnp.asarray(A), jnp.asarray(B),
+                                       jnp.asarray(C), jnp.asarray(D)))
+    for w in range(nw):
+        M = np.zeros((n * s, n * s))
+        for k in range(n):
+            M[k * s:(k + 1) * s, k * s:(k + 1) * s] = B[k, :, :, w]
+            if k > 0:
+                M[k * s:(k + 1) * s, (k - 1) * s:k * s] = A[k, :, :, w]
+            if k < n - 1:
+                M[k * s:(k + 1) * s, (k + 1) * s:(k + 2) * s] = C[k, :, :, w]
+        expect = np.linalg.solve(M, D[:, :, w].ravel())
+        np.testing.assert_allclose(y[:, :, w].ravel(), expect, rtol=1e-8)
+
+
+@pytest.fixture(scope='module')
+def dlugach_case():
+    wno = np.sort(1e4 / np.linspace(0.55, 0.95, 4))
+    opa = jdi.opannection(wno_grid=wno)
+    case = jdi.inputs()
+    case.phase_angle(0)
+    case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.star(opa, 6000, 0.0122, 4.437)
+    case.atmosphere(df=pd.DataFrame({
+        'pressure': np.logspace(-6, 3, NLEVEL),
+        'temperature': np.zeros(NLEVEL) + 1000,
+        'H2': np.zeros(NLEVEL) + 0.99,
+        'H2O': np.zeros(NLEVEL) + 0.01}))
+    return opa, case
+
+
+def _run(case, opa, w0, g0, test_mode, rt_method, stream,
+         delta_eddington=False):
+    case.inputs['test_mode'] = test_mode
+    case.approx(raman='none', rt_method=rt_method, stream=stream,
+                single_phase='OTHG' if rt_method == 'toon' else 'TTHG_ray',
+                multi_phase='N=1', delta_eddington=delta_eddington,
+                psingle_form='OTHG', w_single_form='OTHG',
+                w_multi_form='OTHG')
+    nlayer = NLEVEL - 1
+    opd = (np.repeat(10 ** np.linspace(-5, 3, nlayer), 196)
+           if test_mode == 'rayleigh' else np.zeros(196 * nlayer) + 0.2)
+    case.clouds(df=pd.DataFrame({
+        'opd': opd, 'w0': np.zeros(196 * nlayer) + w0,
+        'g0': np.zeros(196 * nlayer) + g0}))
+    out = case.spectrum(opa, calculation='reflected')
+    return out['albedo'][-1]
+
+
+def test_sh2_matches_toon_isotropic(dlugach_case):
+    """SH2 and Toon two-stream should agree closely for g=0."""
+    opa, case = dlugach_case
+    toon_alb = _run(case, opa, 0.9, 0.0, 'constant_tau', 'toon', 2)
+    sh2_alb = _run(case, opa, 0.9, 0.0, 'constant_tau', 'SH', 2)
+    assert abs(sh2_alb - toon_alb) / toon_alb < 0.1, (sh2_alb, toon_alb)
+
+
+def test_sh4_beats_toon_at_high_asymmetry(dlugach_case):
+    """SH4 must land closer to Dlugach Table XXI than Toon for g=0.85."""
+    opa, case = dlugach_case
+    truth = pd.read_csv(refdata_path('base_cases', 'testing',
+                                     'DLUGACH_TEST.csv')).set_index('asy')
+    expect = float(truth.loc['0.85', '0.900'])
+    toon_alb = _run(case, opa, 0.9, 0.85, 'constant_tau', 'toon', 2)
+    sh4_alb = _run(case, opa, 0.9, 0.85, 'constant_tau', 'SH', 4)
+    err_toon = abs(toon_alb - expect) / expect
+    err_sh4 = abs(sh4_alb - expect) / expect
+    assert err_sh4 < err_toon, (sh4_alb, toon_alb, expect)
+    # regression pins (solver verified to 1e-7 against the reference system
+    # by test_sh_oracle; absolute accuracy vs the literature table at this
+    # tau=0.2/layer setup is the method's own)
+    assert abs(sh4_alb - 0.0865) < 2e-3, sh4_alb
+    assert abs(toon_alb - 0.0921) < 2e-3, toon_alb
+
+
+def test_sh4_rayleigh_albedo(dlugach_case):
+    opa, case = dlugach_case
+    truth = pd.read_csv(refdata_path('base_cases', 'testing',
+                                     'DLUGACH_TEST.csv')).set_index('asy')
+    alb = _run(case, opa, 0.999999, 0.0, 'rayleigh', 'SH', 4)
+    expect = float(truth.loc['Ray', '1.000'])
+    assert abs(alb - expect) / expect < 0.05, (alb, expect)
+
+
+@pytest.mark.parametrize('stream', [2, 4])
+def test_thermal_sh_isothermal_limit(stream):
+    """Optically thick isothermal, no scattering -> intensity = 2pi B."""
+    from picaso_tpu.optics import combine_optics
+    nlevel, nwno = 40, 6
+    wno = np.linspace(3000.0, 9000.0, nwno)
+    tlevel = np.zeros(nlevel) + 900.0
+    plevel = np.logspace(-3, 2, nlevel) * 1e6
+    dtau = jnp.zeros((nlevel - 1, nwno)) + 2.0
+    zeros = jnp.zeros_like(dtau)
+    props = combine_optics(dtau, zeros + 1e-30, zeros, zeros, zeros,
+                           zeros + 0.99999, delta_eddington=False)
+    geom = disco.make_geometry(0, num_gangle=10, num_tangle=1)
+    flux_top, _ = thermal_sh(jnp.asarray(tlevel), props,
+                             jnp.asarray(plevel), jnp.asarray(geom.ubar1),
+                             jnp.zeros(nwno), jnp.asarray(wno),
+                             stream=stream, hard_surface=False)
+    flux = disco.compress_thermal(flux_top, jnp.asarray(geom.gweight),
+                                  jnp.asarray(geom.tweight))
+    from picaso_tpu.rt.toon import blackbody
+    bb = np.pi * np.asarray(blackbody(tlevel[:1], 1.0 / wno))[0]
+    np.testing.assert_allclose(np.asarray(flux), bb, rtol=2e-3)
