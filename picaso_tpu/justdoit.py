@@ -378,9 +378,24 @@ class inputs:
                         if not isinstance(exclude_mol, dict) else exclude_mol)
             self.inputs['atmosphere']['exclude_mol'] = full
 
+    def atmosphere_3d(self, data, verbose=True):
+        """3D GCM input: dict with 'lat'/'lon' (deg), 'pressure' [nlevel]
+        (bar), and [nlevel, nlon, nlat] fields (TPU analog of
+        justdoit.py:3414; columns are selected at the disco facets by
+        nearest neighbour instead of xarray exact-matching)."""
+        if 'pressure' not in data or 'temperature' not in data:
+            raise ValueError('need pressure and temperature fields')
+        self.inputs['atmosphere']['profile'] = data
+        self.nlevel = len(np.asarray(data['pressure']))
+
+    def clouds_3d(self, opd=None, g0=None, w0=None, wavenumber=None):
+        """Facet-dependent clouds: [nlayer, nwno_cld, ng, nt] arrays."""
+        self.inputs['clouds']['profile'] = {'opd': opd, 'g0': g0, 'w0': w0}
+        self.inputs['clouds']['wavenumber'] = wavenumber
+
     def sonora(self, sonora_path, teff, chem='low'):  # pragma: no cover
         raise NotImplementedError(
-            'sonora grid loading lands with the climate milestone')
+            'sonora grid loading lands with the grid-fitting milestone')
 
     def guillot_pt(self, Teq, T_int=100, logg1=-1, logKir=-1.5, alpha=0.5,
                    nlevel=61, p_bottom=1.5, p_top=-6):
@@ -610,15 +625,19 @@ class inputs:
                 {k: v for k, v in self.inputs.items() if k != 'disco'})
             case.inputs['phase_angle'] = float(iphase)
             case.inputs['disco'] = all_geom[float(iphase)]
-            if isinstance(all_profiles, dict):
+            # per-phase (rotated) profiles/clouds are given as sequences
+            # (the analog of atmosphere_4d/clouds_4d, justdoit.py:3666)
+            if isinstance(all_profiles, (list, tuple)):
                 case.inputs['atmosphere']['profile'] = all_profiles[i]
-            if isinstance(all_clds, dict):
+            if isinstance(all_clds, (list, tuple)):
                 case.inputs['clouds']['profile'] = all_clds[i]
             if verbose:
                 print('Currently computing Phase', iphase)
+            prof = case.inputs['atmosphere']['profile']
+            dim = ('3d' if isinstance(prof, dict) and 'lat' in prof
+                   else '1d')
             out[float(iphase)] = case.spectrum(
-                opacityclass, calculation=calculation,
-                dimension=self.inputs.get('dimension', '1d'),
+                opacityclass, calculation=calculation, dimension=dim,
                 full_output=full_output)
         return out
 

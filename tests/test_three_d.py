@@ -1,0 +1,104 @@
+"""3D (disco-ball) spectra and phase curves."""
+
+import numpy as np
+import pytest
+
+from picaso_tpu import justdoit as jdi
+from picaso_tpu.opacities import factory
+
+
+@pytest.fixture(scope='module')
+def setup(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp('opa') / 'synthetic.db')
+    wno = np.linspace(1000.0, 12000.0, 120)
+    factory.build_synthetic_db(path, wno, ntemp=8, npress=6)
+    return jdi.opannection(filename_db=path)
+
+
+def _gcm(nlevel=25, nlon=12, nlat=8, t_day=1000.0, t_night=700.0):
+    pressure = np.logspace(-4, 2, nlevel)
+    lon = np.linspace(-180, 180, nlon)
+    lat = np.linspace(-85, 85, nlat)
+    base = np.clip(900 * (pressure / 10) ** 0.08, 300, None)
+    tmap = np.zeros((nlevel, nlon, nlat))
+    for i, lo in enumerate(lon):
+        for j, la in enumerate(lat):
+            dayside = np.cos(np.radians(lo)) * np.cos(np.radians(la))
+            tmap[:, i, j] = base * (1 + 0.2 * max(dayside, 0.0))
+    data = {'pressure': pressure, 'lat': lat, 'lon': lon,
+            'temperature': tmap,
+            'H2O': np.zeros_like(tmap) + 1e-3,
+            'CH4': np.zeros_like(tmap) + 3e-4,
+            'H2': np.zeros_like(tmap) + 0.84,
+            'He': np.zeros_like(tmap) + 0.155}
+    return data
+
+
+def test_uniform_3d_matches_1d_thermal(setup):
+    """A horizontally-uniform 3D map must reproduce the 1D spectrum."""
+    opa = setup
+    data = _gcm(t_day=0, t_night=0)
+    data['temperature'] = np.broadcast_to(
+        np.clip(900 * (data['pressure'] / 10) ** 0.08, 300, None)[:, None,
+                                                                  None],
+        data['temperature'].shape).copy()
+
+    case3 = jdi.inputs(calculation='browndwarf')
+    case3.phase_angle(0, num_gangle=6, num_tangle=4)
+    case3.gravity(gravity=100, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case3.atmosphere_3d(data)
+    out3 = case3.spectrum(opa, calculation='thermal', dimension='3d')
+
+    case1 = jdi.inputs(calculation='browndwarf')
+    case1.phase_angle(0, num_gangle=6, num_tangle=4)
+    case1.gravity(gravity=100, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    import pandas as pd
+    case1.atmosphere(df=pd.DataFrame({
+        'pressure': data['pressure'],
+        'temperature': data['temperature'][:, 0, 0],
+        'H2O': data['H2O'][:, 0, 0], 'CH4': data['CH4'][:, 0, 0],
+        'H2': data['H2'][:, 0, 0], 'He': data['He'][:, 0, 0]}))
+    out1 = case1.spectrum(opa, calculation='thermal')
+    np.testing.assert_allclose(out3['thermal'], out1['thermal'], rtol=1e-6)
+
+
+def test_hot_dayside_brightens_thermal(setup):
+    opa = setup
+    case = jdi.inputs(calculation='browndwarf')
+    case.phase_angle(0, num_gangle=6, num_tangle=4)
+    case.gravity(gravity=100, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.atmosphere_3d(_gcm())
+    hot = case.spectrum(opa, calculation='thermal', dimension='3d')
+    cold = _gcm()
+    cold['temperature'] = cold['temperature'] * 0.9
+    case.atmosphere_3d(cold)
+    colder = case.spectrum(opa, calculation='thermal', dimension='3d')
+    assert (hot['thermal'] > colder['thermal']).all()
+
+
+def test_reflected_3d_runs_and_is_physical(setup):
+    opa = setup
+    case = jdi.inputs()
+    case.phase_angle(np.pi / 3, num_gangle=6, num_tangle=4)
+    case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.star(opa, 5700, 0.0, 4.4)
+    case.atmosphere_3d(_gcm())
+    out = case.spectrum(opa, calculation='reflected', dimension='3d')
+    alb = out['albedo']
+    assert np.isfinite(alb).all()
+    assert (alb >= 0).all() and (alb <= 1.1).all()
+
+
+def test_thermal_phase_curve(setup):
+    """Thermal phase curve of a day-night contrast map: same geometry at
+    each phase (flux emitted at all angles), flat curve for a static map."""
+    opa = setup
+    case = jdi.inputs(calculation='browndwarf')
+    case.gravity(gravity=100, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.phase_angle(phase_grid=np.array([0.0, np.pi / 2, np.pi]),
+                     num_gangle=6, num_tangle=4, calculation='thermal')
+    case.atmosphere_3d(_gcm())
+    allout = case.phase_curve(opa, verbose=False)
+    assert len(allout) == 3
+    fluxes = {ph: out['thermal'].mean() for ph, out in allout.items()}
+    assert all(np.isfinite(v) for v in fluxes.values())
