@@ -1082,3 +1082,148 @@ def brown_dwarf_pt():
 
 def brown_dwarf_cld():
     return refdata_path('base_cases', 't1270g200f1_m0.0_co1.0.cld')
+
+
+# ---------------------------------------------------------------------------
+# contribution functions
+# ---------------------------------------------------------------------------
+
+def get_contribution(bundle, opacityclass, at_tau=1, dimension='1d'):
+    """Per-species optical-depth contributions (justdoit.py:1090-1295).
+
+    Returns dict with:
+      taus_per_layer : {species: [nlayer, nwno]} per-layer optical depth
+      cumsum_taus    : {species: [nlevel, nwno]} cumulative from the top
+      tau_p_surface  : {species: [nwno]} pressure (bar) where tau = at_tau
+    """
+    if dimension != '1d':
+        raise NotImplementedError('contribution functions are 1d')
+    wno = np.asarray(opacityclass.wno)
+    atm = _build_atmosphere_from_inputs(bundle, wno)
+    taus = {}
+
+    if opacityclass.grid is not None:
+        used = [m for m in atm.molecules if m in opacityclass.grid.molecules]
+        if used:
+            kappa = np.asarray(interp_molecular(
+                opacityclass.grid, jnp.asarray(atm.t_layer),
+                jnp.asarray(atm.p_layer / PCONV)))
+            for m in used:
+                im = opacityclass.grid.molecules.index(m)
+                taus[m] = (kappa[im]
+                           * (atm.mixing_ratio_layer(m) * atm.colden
+                              / atm.mmw_layer)[:, None])
+        pairs = atm.continuum_pairs(opacityclass.avail_continuum)
+        specs = assemble.classify_continuum(pairs)
+        if specs:
+            cont = np.asarray(nearest_continuum(
+                opacityclass.grid, jnp.asarray(atm.t_layer)))
+            coef1 = np.asarray(assemble.amagat_coef1(
+                jnp.asarray(atm.temperature),
+                jnp.asarray(atm.pressure / PCONV),
+                jnp.asarray(atm.t_layer), jnp.asarray(atm.p_layer / PCONV),
+                atm.gravity, jnp.asarray(atm.mmw_layer)))
+            from .constants import AMU, K_B
+            for s in specs:
+                ic = list(opacityclass.grid.continuum_molecules).index(
+                    s.name)
+                k = cont[ic]
+                if s.kind == 'cia':
+                    mix1 = atm.mixing_ratio_layer(s.mol1) \
+                        if s.mol1 in atm.molecules else 0
+                    mix2 = atm.mixing_ratio_layer(s.mol2) \
+                        if s.mol2 in atm.molecules else 0
+                    taus[s.name] = k * (coef1 * mix1 * mix2)[:, None]
+                elif s.kind == 'H-bf':
+                    taus[s.name] = k * (atm.mixing_ratio_layer('H-')
+                                        * atm.colden
+                                        / (atm.mmw_layer * AMU))[:, None]
+                elif s.kind == 'H-ff' and atm.electrons_layer is not None:
+                    taus[s.name] = k * (
+                        atm.p_layer * atm.mixing_ratio_layer('H')
+                        * atm.electrons_layer * atm.colden
+                        / (atm.t_layer * atm.mmw_layer * AMU
+                           * K_B))[:, None]
+                elif s.kind == 'H2-' and atm.electrons_layer is not None:
+                    taus[s.name] = k * (
+                        atm.p_layer * atm.mixing_ratio_layer('H2')
+                        * atm.electrons_layer * atm.colden
+                        / (atm.mmw_layer * AMU))[:, None]
+
+    ray_species = atm.rayleigh_species(opacityclass.rayleigh_molecules)
+    if ray_species:
+        sigma = np.stack([opacityclass.rayleigh_opa[m]
+                          for m in ray_species])
+        mix_ray = np.stack([atm.mixing_ratio_layer(m) for m in ray_species])
+        taus['rayleigh'] = np.einsum(
+            'mw,ml->lw', sigma, mix_ray * atm.colden / atm.mmw_layer)
+
+    if atm.cld_opd is not None and np.any(atm.cld_opd):
+        taus['cloud'] = np.asarray(atm.cld_opd)
+
+    cumsum_taus = {}
+    tau_p_surface = {}
+    p_level_bar = atm.pressure / PCONV
+    for name, t in taus.items():
+        c = np.zeros((atm.nlevel, len(wno)))
+        c[1:] = np.cumsum(t, axis=0)
+        cumsum_taus[name] = c
+        # pressure where cumulative tau crosses at_tau (log-interp)
+        press = np.full(len(wno), np.nan)
+        for w in range(len(wno)):
+            idx = np.searchsorted(c[:, w], at_tau)
+            if 0 < idx < atm.nlevel:
+                lo, hi = c[idx - 1, w], c[idx, w]
+                f = 0.0 if hi == lo else (at_tau - lo) / (hi - lo)
+                press[w] = np.exp(np.log(p_level_bar[idx - 1])
+                                  + f * np.log(p_level_bar[idx]
+                                               / p_level_bar[idx - 1]))
+            elif idx >= atm.nlevel:
+                press[w] = p_level_bar[-1]
+        tau_p_surface[name] = press
+    return taus, cumsum_taus, tau_p_surface
+
+
+# ---------------------------------------------------------------------------
+# evolution tracks & catalogs (justdoit.py:5536-5658)
+# ---------------------------------------------------------------------------
+
+_EVOL_COLS = ['age_years', 'logL', 'R_cm', 'Ts', 'Teff', 'log rc', 'log Pc',
+              'log Tc', 'grav_cgs', 'Uth', 'Ugrav', 'log Lnuc']
+
+
+def evolution_track(mass=1, age='all'):
+    """Hot/cold-start evolution tracks for 1-10 Mj planets."""
+    valid = np.array([1, 2, 4, 6, 8, 10])
+    cols_return = ['age_years', 'Teff', 'grav_cgs', 'logL', 'R_cm']
+
+    def load(start, imass):
+        tag = f'00{imass}0'
+        if len(tag) == 5:
+            tag = tag[1:]
+        return pd.read_csv(
+            refdata_path('evolution', start, f'model_seq.{tag}'),
+            skiprows=12, sep=r'\s+', header=None, names=_EVOL_COLS)
+
+    def at_age(df):
+        if isinstance(age, str):
+            return df
+        return df.iloc[(df['age_years'] - age).abs().argsort()[:1]
+                       ].to_dict('records')[0]
+
+    if mass == 'all':
+        out = {'hot': {}, 'cold': {}}
+        for start in ('hot', 'cold'):
+            for imass in valid:
+                df = load(f'{start}_start', imass)[cols_return]
+                out[start][f'{imass}Mj'] = at_age(df)
+        return out
+    imass = int(valid[np.argmin(np.abs(valid - mass))])
+    return {'hot': at_age(load('hot_start', imass)[cols_return]),
+            'cold': at_age(load('cold_start', imass)[cols_return])}
+
+
+def young_planets():
+    """Benchmark young planets (ZJ's compilation; justdoit.py:5640)."""
+    return pd.read_csv(refdata_path('evolution', 'benchmarks_age_lbol.csv'),
+                       skiprows=12)

@@ -1,0 +1,101 @@
+"""Utility layers: contribution functions, model round-trip, references,
+evolution tracks, plotting smoke tests."""
+
+import matplotlib
+
+matplotlib.use('Agg')
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picaso_tpu import justdoit as jdi
+from picaso_tpu import justplotit as jpi
+from picaso_tpu import io_utils
+from picaso_tpu.opacities import factory
+from picaso_tpu.references import References
+
+
+@pytest.fixture(scope='module')
+def setup(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp('opa') / 'synthetic.db')
+    wno = np.linspace(2000.0, 15000.0, 100)
+    factory.build_synthetic_db(path, wno, ntemp=6, npress=5)
+    opa = jdi.opannection(filename_db=path)
+    case = jdi.inputs()
+    case.phase_angle(0)
+    case.gravity(radius=1.0, radius_unit=jdi.u.Unit('Rjup'),
+                 mass=1.0, mass_unit=jdi.u.Unit('Mjup'))
+    case.star(opa, 5700, 0.0, 4.4, radius=1.0,
+              radius_unit=jdi.u.Unit('Rsun'), semi_major=5.2,
+              semi_major_unit=jdi.u.Unit('au'))
+    case.atmosphere(filename=jdi.jupiter_pt(), sep=r'\s+')
+    case.clouds(filename=jdi.jupiter_cld(), sep=r'\s+')
+    return opa, case
+
+
+def test_get_contribution(setup):
+    opa, case = setup
+    taus, cumsum_taus, tau_p = jdi.get_contribution(case, opa, at_tau=1)
+    assert 'H2O' in taus and 'rayleigh' in taus and 'cloud' in taus
+    assert 'H2He' in taus or 'H2H2' in taus
+    for name, t in taus.items():
+        assert t.shape == (60, opa.nwno)
+        assert np.isfinite(t).all() and (t >= 0).all()
+    for name, c in cumsum_taus.items():
+        assert c.shape == (61, opa.nwno)
+        assert (np.diff(c, axis=0) >= -1e-12).all()
+    # tau=1 surfaces are inside the pressure grid where defined
+    for name, p in tau_p.items():
+        good = np.isfinite(p)
+        if good.any():
+            assert (p[good] >= 1e-7).all() and (p[good] <= 1.1e3).all()
+
+
+def test_model_save_load_roundtrip(setup, tmp_path):
+    opa, case = setup
+    out = case.spectrum(opa, calculation='reflected+thermal')
+    fn = str(tmp_path / 'model.h5')
+    io_utils.save_model(fn, case, out, meta={'author': 'test'})
+    case2, spectra, attrs = io_utils.load_model(fn, opannection=opa)
+    np.testing.assert_allclose(spectra['albedo'], out['albedo'])
+    assert attrs['author'] == 'test'
+    # the reconstituted bundle reruns to the same spectrum
+    out2 = case2.spectrum(opa, calculation='reflected')
+    np.testing.assert_allclose(out2["albedo"], out["albedo"], rtol=1e-6)
+
+
+def test_references():
+    refs = References()
+    assert len(refs.bib_dict) > 10
+    rows, bibs = refs.get_opa(molecules=['H2O', 'CH4'])
+    assert len(bibs) >= 1
+
+
+def test_evolution_and_young_planets():
+    out = jdi.evolution_track(mass=4, age=1e8)
+    assert 100 < out['hot']['Teff'] < 3000
+    allm = jdi.evolution_track(mass='all')
+    assert '10Mj' in allm['cold']
+    yp = jdi.young_planets()
+    assert len(yp) > 10
+
+
+def test_plotting_smoke(setup):
+    opa, case = setup
+    out = case.spectrum(opa, calculation='reflected+thermal',
+                        full_output=True)
+    jpi.spectrum(out['wavenumber'], out['albedo'], R=30)
+    jpi.pt(out['full_output'])
+    jpi.mixing_ratio(case.inputs['atmosphere']['profile'])
+    taus, cum, tau_p = jdi.get_contribution(case, opa)
+    jpi.photon_attenuation(tau_p, out['wavenumber'])
+    jpi.brightness_temperature(out['wavenumber'], out['thermal'])
+
+
+def test_guillot_pt():
+    case = jdi.inputs()
+    case.gravity(gravity=10, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    df = case.guillot_pt(1000, T_int=150)
+    assert (df['temperature'] > 500).all()
+    assert df['temperature'].iloc[-1] > df['temperature'].iloc[0]
