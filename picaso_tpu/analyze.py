@@ -1,0 +1,163 @@
+"""Model-grid fitting and analysis (the reference ``analyze.py`` layer).
+
+``GridFitter`` loads grids of precomputed models (HDF5 files written by
+:func:`picaso_tpu.io_utils.save_model`, or in-memory arrays), chi-square
+fits them to data with an optional additive offset per dataset, converts
+chi-square to posterior weights, and interpolates between grid members for
+"gridtrieval" — with the chi-square sweep as one vectorized einsum over the
+whole grid instead of the reference's per-model Python loop
+(analyze.py:305-388).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from .wavelength import mean_regrid
+
+__all__ = ['GridFitter', 'chi_squared']
+
+
+def chi_squared(data_y, data_e, model_y):
+    """Reduced-chi-square free chi2 (analyze.py:1315)."""
+    return np.sum((data_y - model_y) ** 2 / data_e ** 2, axis=-1)
+
+
+class GridFitter:
+    """Fit grids of models to spectra (analyze.py:30-922)."""
+
+    def __init__(self, grid_name, location=None, models=None,
+                 grid_parameters=None, verbose=True):
+        """Either point at a directory of .h5 models (io_utils.save_model
+        layout) or pass arrays directly via ``models`` (dict with 'wavenumber'
+        [nwno], 'spectra' [nmodels, nwno]) + ``grid_parameters`` DataFrame.
+        """
+        self.grid_name = grid_name
+        self.grids = [grid_name]
+        self.fit_results = {}
+        self.verbose = verbose
+        if models is not None:
+            self.wavenumber = np.asarray(models['wavenumber'])
+            self.spectra = np.asarray(models['spectra'])
+            self.grid_params = (grid_parameters if grid_parameters
+                                is not None else pd.DataFrame(
+                                    index=range(len(self.spectra))))
+            self.list_of_files = list(range(len(self.spectra)))
+        elif location is not None:
+            self.load_grid(location)
+        else:
+            raise ValueError('give location= or models=')
+
+    def load_grid(self, location, spectra_key='fpfs_thermal'):
+        """Load every stored model in a directory (analyze.py:184)."""
+        import h5py
+        files = sorted(glob.glob(os.path.join(location, '*.h5')))
+        if not files:
+            raise ValueError(f'no .h5 models found in {location}')
+        spectra, rows = [], []
+        wavenumber = None
+        for fn in files:
+            with h5py.File(fn, 'r') as f:
+                wavenumber = np.asarray(f['spectra']['wavenumber'])
+                keys = list(f['spectra'])
+                key = spectra_key if spectra_key in keys else [
+                    k for k in keys if k != 'wavenumber'][0]
+                spectra.append(np.asarray(f['spectra'][key]))
+                rows.append(dict(f.attrs))
+        self.wavenumber = wavenumber
+        self.spectra = np.asarray(spectra)
+        self.grid_params = pd.DataFrame(rows)
+        self.list_of_files = files
+        if self.verbose:
+            print(f'loaded {len(files)} models from {location}')
+
+    def fit_grid(self, grid_name, data_name, wlgrid_center, y_data, e_data,
+                 offset=False):
+        """Chi-square fit of every grid member to a dataset
+        (analyze.py:305-388).
+
+        wlgrid_center in micron; models are binned onto the data grid.
+        With ``offset`` a per-model additive shift minimizing chi2 is fit
+        analytically.
+        """
+        wl = np.asarray(wlgrid_center)
+        y = np.asarray(y_data)
+        e = np.asarray(e_data)
+        data_wno = np.sort(1e4 / wl)
+
+        # map each data wavelength to its bin in the ascending-wno grid
+        pos = np.searchsorted(data_wno, 1e4 / wl)
+        pos = np.clip(pos, 0, len(data_wno) - 1)
+        binned = np.zeros((len(self.spectra), len(wl)))
+        for i, spec in enumerate(self.spectra):
+            _, by = mean_regrid(self.wavenumber, spec, newx=data_wno)
+            by = np.nan_to_num(by, nan=float(np.nanmean(by)))
+            binned[i] = by[pos]
+
+        if offset:
+            # analytic offset: shift = weighted mean residual
+            wgt = 1.0 / e ** 2
+            shift = ((y[None, :] - binned) * wgt).sum(1) / wgt.sum()
+            binned = binned + shift[:, None]
+            offsets = shift
+        else:
+            offsets = np.zeros(len(binned))
+
+        chi2 = chi_squared(y[None, :], e[None, :], binned)
+        rank = np.argsort(chi2)
+        res = self.fit_results.setdefault(grid_name, {})
+        res[data_name] = {
+            'chi_sq': chi2, 'rank_order': rank, 'offsets': offsets,
+            'best_fit_index': int(rank[0]),
+            'chi_sq_best': float(chi2[rank[0]]),
+            'binned_models': binned, 'wlgrid_center': wl,
+            'posterior_weights': self.chi2_posteriors(chi2),
+        }
+        if self.verbose:
+            print(f'best chi2 = {chi2[rank[0]]:.2f} at grid index '
+                  f'{rank[0]}')
+        return res[data_name]
+
+    @staticmethod
+    def chi2_posteriors(chi2):
+        """Relative posterior probability exp(-chi2/2) (analyze.py:515)."""
+        w = np.exp(-0.5 * (np.asarray(chi2) - np.min(chi2)))
+        return w / w.sum()
+
+    def best_fit(self, grid_name, data_name):
+        res = self.fit_results[grid_name][data_name]
+        i = res['best_fit_index']
+        out = {'index': i, 'chi_sq': res['chi_sq'][i],
+               'offset': res['offsets'][i],
+               'spectrum': res['binned_models'][i]}
+        if len(self.grid_params):
+            out['parameters'] = self.grid_params.iloc[i].to_dict()
+        return out
+
+    def parameter_posteriors(self, grid_name, data_name, parameter):
+        """Marginalized posterior over one grid parameter."""
+        res = self.fit_results[grid_name][data_name]
+        w = res['posterior_weights']
+        vals = np.asarray(self.grid_params[parameter], dtype=float)
+        uniq = np.unique(vals)
+        probs = np.array([w[vals == v].sum() for v in uniq])
+        return uniq, probs / probs.sum()
+
+    def interp_models(self, parameters, point):
+        """Inverse-distance interpolation between grid members in
+        normalized parameter space ('gridtrieval', analyze.py:709-1063)."""
+        P = np.asarray(self.grid_params[list(parameters)], dtype=float)
+        lo, hi = P.min(0), P.max(0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        Pn = (P - lo) / span
+        q = (np.asarray(point, dtype=float) - lo) / span
+        d = np.sqrt(((Pn - q[None, :]) ** 2).sum(1))
+        if d.min() < 1e-12:
+            return self.spectra[int(np.argmin(d))]
+        w = 1.0 / d ** 2
+        w /= w.sum()
+        return (w[:, None] * self.spectra).sum(0)

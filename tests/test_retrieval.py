@@ -1,0 +1,172 @@
+"""Samplers, grid fitting, parameterizations, and the TOML retrieval
+driver, end to end on synthetic data."""
+
+import matplotlib
+
+matplotlib.use('Agg')
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picaso_tpu import driver, justdoit as jdi, retrieval
+from picaso_tpu.analyze import GridFitter
+from picaso_tpu.opacities import factory
+from picaso_tpu.parameterizations import Parameterize
+from picaso_tpu.sampler import ensemble_sample, nested_sample
+
+
+# ---------------------------------------------------------------------------
+# samplers on analytic problems
+# ---------------------------------------------------------------------------
+
+def test_ensemble_recovers_gaussian():
+    mu = np.array([1.0, -2.0])
+    sig = np.array([0.5, 1.5])
+
+    def logp(x):
+        return -0.5 * np.sum((x - mu) ** 2 / sig ** 2, axis=-1)
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((32, 2))
+    chain, lps = ensemble_sample(logp, p0, 600, seed=1)
+    flat = chain[300:].reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), mu, atol=0.15)
+    np.testing.assert_allclose(flat.std(0), sig, rtol=0.2)
+
+
+def test_nested_gaussian_evidence():
+    """Unit-cube gaussian: ln Z known analytically."""
+    sig = 0.05
+    mu = 0.5
+
+    def loglike(x):
+        x = np.atleast_2d(x)
+        return (-0.5 * np.sum((x - mu) ** 2, axis=1) / sig ** 2
+                - 0.5 * x.shape[1] * np.log(2 * np.pi * sig ** 2))
+
+    res = nested_sample(loglike, lambda u: u, 2, nlive=150, seed=2,
+                        dlogz=0.1)
+    # analytic: Z = integral of the gaussian over the unit square ~ 1
+    assert abs(res.logz) < 0.3, res.logz
+    mean = (res.samples * res.weights[:, None]).sum(0)
+    np.testing.assert_allclose(mean, [mu, mu], atol=0.02)
+
+
+def test_nested_checkpoint_resume(tmp_path):
+    def loglike(x):
+        x = np.atleast_2d(x)
+        return -0.5 * np.sum((x - 0.5) ** 2, axis=1) / 0.1 ** 2
+
+    ck = str(tmp_path / 'ns.ckpt')
+    res1 = nested_sample(loglike, lambda u: u, 2, nlive=100, seed=3,
+                         max_iter=150, checkpoint_file=ck)
+    res2 = nested_sample(loglike, lambda u: u, 2, nlive=100, seed=3,
+                         checkpoint_file=ck, resume=True, dlogz=0.1)
+    assert res2.niter > 100
+    assert np.isfinite(res2.logz)
+
+
+# ---------------------------------------------------------------------------
+# parameterizations
+# ---------------------------------------------------------------------------
+
+def test_parameterize_pt_forms():
+    par = Parameterize(nlevel=60)
+    iso = par.pt_isothermal(800)
+    assert (iso == 800).all()
+    knots = par.pt_knots([1e-4, 1e-1, 1e2], [200, 500, 1500])
+    assert knots[0] < knots[-1]
+    ms = par.pt_madhu_seager_09_noinversion(0.6, 0.5, 1e-3, 1.0, 1600)
+    assert np.isfinite(ms).all()
+    assert abs(ms[-1] - 1600) < 1e-6
+    inv = par.pt_madhu_seager_09_inversion(0.6, 0.5, 1e-3, 1e-2, 1.0, 1600)
+    assert np.isfinite(inv).all()
+    zj = par.pt_zj24([1e-4, 1e-2, 1e0, 1e2], [100, 200, 300], 2000)
+    assert zj[0] < zj[-1]
+
+
+def test_parameterize_chem_and_clouds():
+    par = Parameterize(nlevel=40)
+    df = par.chem_free(H2O=-3, CH4=-4)
+    total = df.drop(columns='pressure').sum(axis=1)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-10)
+    deck = par.deck_decay(1.0)
+    assert deck['opd'].max() == pytest.approx(10.0)
+    slab = par.slab_decay(0.01, 1.0, 5.0, alpha=2.0)
+    assert slab['opd'].sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# grid fitter
+# ---------------------------------------------------------------------------
+
+def test_grid_fitter_identifies_truth():
+    wno = np.linspace(1000, 10000, 200)
+    temps = np.array([500.0, 700.0, 900.0, 1100.0])
+    spectra = np.array([t * (1 + 0.3 * np.sin(wno / 1500 + t / 300))
+                        for t in temps])
+    fitter = GridFitter('toy', models={'wavenumber': wno,
+                                       'spectra': spectra},
+                        grid_parameters=pd.DataFrame({'teff': temps}),
+                        verbose=False)
+    wl = 1e4 / np.linspace(1500, 9500, 40)
+    truth = spectra[2]
+    y = np.interp(1e4 / wl, wno, truth)
+    res = fitter.fit_grid('toy', 'obs', wl, y, y * 0 + 10.0)
+    assert res['best_fit_index'] == 2
+    best = fitter.best_fit('toy', 'obs')
+    assert best['parameters']['teff'] == 900.0
+    vals, probs = fitter.parameter_posteriors('toy', 'obs', 'teff')
+    assert vals[np.argmax(probs)] == 900.0
+    interp = fitter.interp_models(['teff'], [800.0])
+    assert interp.shape == (200,)
+
+
+# ---------------------------------------------------------------------------
+# TOML driver end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def toml_config(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp('opa') / 'synthetic.db')
+    wno = np.linspace(1500.0, 15000.0, 80)
+    factory.build_synthetic_db(path, wno, ntemp=6, npress=5)
+    config = driver.load_toml(jdi.refdata_path('input_tomls',
+                                               'driver_example.toml'))
+    config['OpticalProperties']['opacity_files'] = path
+    config['OpticalProperties']['wave_range'] = None
+    config['temperature']['pressure']['nlevel'] = 30
+    return config
+
+
+def test_driver_spectrum_mode(toml_config):
+    config = dict(toml_config, calc_type='spectrum',
+                  observation_type='transmission')
+    case, out = driver.run(config)
+    assert np.isfinite(out['transit_depth']).all()
+
+
+def test_driver_retrieval_recovers_temperature(toml_config):
+    config = dict(toml_config)
+    # generate truth data at T=1000, logH2O=-3
+    case, opa, _ = driver.setup_spectrum_class(config)
+    truth = case.spectrum(opa, calculation='transmission')
+    wl = 1e4 / np.asarray(truth['wavenumber'])
+    y = np.asarray(truth['transit_depth'])
+    e = y * 0 + y.std() * 0.05
+    res = driver.run(config, data=(wl, y, e), sampler='nested', nlive=25,
+                     max_iter=60, verbose=False, dlogz=5.0, walks=5)
+    info = retrieval.get_info(res)
+    t_med = info['temperature.isothermal.T']['median']
+    assert 700 < t_med < 1350, info
+    # posterior tooling smoke
+    retrieval.plot_pair(res)
+    print(retrieval.summary(res))
+
+
+def test_create_template(tmp_path):
+    path = retrieval.create_template('free', output_dir=str(tmp_path))
+    text = open(path).read()
+    assert 'driver.run' in text
+    compile(text, path, 'exec')
