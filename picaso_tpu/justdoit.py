@@ -520,9 +520,127 @@ class inputs:
             self.inputs['clouds']['fhole'] = fhole
             self.inputs['clouds']['fthin_cld'] = fthin_cld
 
-    def virga(self, *a, **kw):  # pragma: no cover
-        raise NotImplementedError('virga cloud microphysics interop lands '
-                                  'with the climate milestone')
+    def virga(self, condensates, directory=None, fsed=1.0, mh=1.0, mmw=2.2,
+              sig=2.0, kz_min=1e5, full_output=False, **kwargs):
+        """Run cloud microphysics and attach the resulting cloud profile
+        (justdoit.py:4269 semantics, using picaso_tpu.virga — an AM01
+        eddy-sedimentation model; point ``directory`` at virga .mieff
+        files for real Mie optics)."""
+        from . import virga as vj
+        atmo = vj.Atmosphere(condensates, fsed=fsed, mh=mh, mmw=mmw,
+                             sig=sig, **kwargs)
+        atmo.gravity = self.inputs['planet']['gravity']
+        prof = self.inputs['atmosphere']['profile']
+        atmo.ptk(df=prof, kz_min=kz_min)
+        out = vj.compute(atmo, directory=directory)
+        df_cld = vj.picaso_format(out['opd_per_layer'],
+                                  out['single_scattering'],
+                                  out['asymmetry'])
+        self.clouds(df=df_cld)
+        return out if full_output else df_cld
+
+    # -- disequilibrium chemistry adjustments --------------------------------
+    def find_kzz(self):
+        """Locate the active Kzz profile (constant / self-consistent /
+        from the profile), mirroring the reference bookkeeping."""
+        kz_store = self.inputs['atmosphere'].get('kzz', {})
+        if isinstance(kz_store, dict):
+            for key in ('sc_kzz', 'constant_kzz'):
+                kz = kz_store.get(key)
+                if kz is not None and not isinstance(kz, int):
+                    return np.asarray(kz)
+        prof = self.inputs['atmosphere']['profile']
+        if prof is not None and 'kz' in getattr(prof, 'keys', lambda: [])():
+            return np.asarray(prof['kz'])
+        return None
+
+    def adjust_quench_chemistry(self, quench_levels, chemistry_table=None,
+                                kinetic_CO2=True):
+        """Freeze quenched species above their quench level, conserving
+        the total via H2 (justdoit.py:2340-2445 incl. the Zahnle & Marley
+        eq. 43 kinetic CO2 fix)."""
+        df = self.inputs['atmosphere']['profile']
+        nlevel = df.shape[0]
+        H2 = df['H2'].values.copy()
+        for iquench in ['PH3', 'CO-CH4-H2O', 'CO2', 'NH3-N2', 'HCN']:
+            if iquench not in quench_levels:
+                continue
+            qlev = min(int(quench_levels[iquench]), nlevel - 1)
+            for imol in iquench.split('-'):
+                if imol not in df.keys():
+                    continue
+                quench_abundance = df.loc[qlev, imol]
+                old = df.loc[:, imol].values.copy()
+                df.loc[0:qlev + 1, imol] = quench_abundance
+                H2 = H2 + (old - df.loc[:, imol].values)
+        if kinetic_CO2 and 'CO2' in quench_levels and \
+                all(m in df.keys() for m in ('CO', 'H2O', 'CO2')):
+            T = df['temperature']
+            K = 18.3 * np.exp(-2376 / T - (932 / T) ** 2)
+            fCO2 = (df['CO'] * df['H2O']) / (K * df['H2'])
+            fCO2 = np.array(fCO2.values)
+            qlev = min(int(quench_levels['CO2']), nlevel - 1)
+            fCO2[:qlev] = fCO2[qlev]
+            old = df.loc[:, 'CO2'].values.copy()
+            df.loc[:, 'CO2'] = fCO2
+            H2 = H2 + (old - df.loc[:, 'CO2'].values)
+        df.loc[:, 'H2'] = H2
+        self.inputs['atmosphere']['profile'] = df
+
+    def volatile_rainout(self, quench_levels,
+                         species_to_consider=('H2O', 'CH4', 'NH3')):
+        """Cap quenched volatiles at their saturation vapor pressure
+        (justdoit.py:2135-2196)."""
+        from . import virga as vj
+        df = self.inputs['atmosphere']['profile']
+        quench_mols = np.concatenate([k.split('-')
+                                      for k in quench_levels])
+        H2 = df['H2'].values.copy()
+        for imol in species_to_consider:
+            if imol not in df.keys() or imol not in quench_mols:
+                continue
+            qlev = None
+            for k, lev in quench_levels.items():
+                if imol in k.split('-'):
+                    qlev = min(int(lev), df.shape[0] - 1)
+            if qlev is None:
+                continue
+            get_pvap = getattr(vj.pvaps, imol, None)
+            if get_pvap is None:
+                continue
+            quench_abund = df.loc[qlev, imol]
+            old = df.loc[:, imol].values.copy()
+            for i in range(0, qlev + 1):
+                pvap_abund = (get_pvap(df.loc[i, 'temperature'])
+                              / (df.loc[i, 'pressure'] * 1e6))
+                if pvap_abund < quench_abund:
+                    df.loc[i, imol] = pvap_abund
+            H2 = H2 + (old - df.loc[:, imol].values)
+        df.loc[:, 'H2'] = H2
+        self.inputs['atmosphere']['profile'] = df
+
+    def cold_trap(self, species_to_consider=('H2O', 'CH4', 'NH3')):
+        """Enforce non-increasing condensible abundances above the
+        condensation layer (justdoit.py:2197-2236)."""
+        from . import virga as vj
+        df = self.inputs['atmosphere']['profile']
+        H2 = df['H2'].values.copy()
+        for mol in species_to_consider:
+            if mol not in df.keys():
+                continue
+            _, cond_t = vj.condensation_t(
+                mol, 1, 2.2, pressure=np.asarray(df['pressure']))
+            cross = np.where(cond_t > np.asarray(df['temperature']))[0]
+            if len(cross) == 0:
+                continue
+            cond_layer = int(cross[-1])
+            old = df.loc[:, mol].values.copy()
+            for i in range(cond_layer - 1, 0, -1):
+                if df.loc[i, mol] < df.loc[i - 1, mol]:
+                    df.loc[i - 1, mol] = df.loc[i, mol]
+            H2 = H2 + (old - df.loc[:, mol].values)
+        df.loc[:, 'H2'] = H2
+        self.inputs['atmosphere']['profile'] = df
 
     # -- approximations ----------------------------------------------------
     def approx(self, single_phase='TTHG_ray', multi_phase='N=2',
