@@ -28,7 +28,7 @@ __all__ = ['inputs_climate', 'run_climate', 'ck_rtprops']
 
 def ck_rtprops(profile_df, ck: CKTable, gravity, p_reference=1.0,
                delta_eddington=True, stream=2, raman=2,
-               cld=None, dtype=np.float64):
+               cld=None, dtype=np.float64, molecular_kappa_fn=None):
     """Atmosphere + premixed CK table -> RTProps [ngauss, nlayer, nwno].
 
     The climate analog of calculate_atm (climate.py:1969-2134): premixed
@@ -43,8 +43,11 @@ def ck_rtprops(profile_df, ck: CKTable, gravity, p_reference=1.0,
                            else wno)
     nlayer = atm.nlayer
 
-    kappa = interp_premix(ck.arrays, jnp.asarray(atm.t_layer),
-                          jnp.asarray(atm.p_layer / PCONV))
+    if molecular_kappa_fn is not None:
+        kappa = molecular_kappa_fn(atm)
+    else:
+        kappa = interp_premix(ck.arrays, jnp.asarray(atm.t_layer),
+                              jnp.asarray(atm.p_layer / PCONV))
     # [nlayer, nwno, ngauss] -> [ngauss, nlayer, nwno]
     taugas = (kappa * (atm.colden / atm.mmw_layer)[:, None, None]
               ).transpose(2, 0, 1)
@@ -168,12 +171,26 @@ class _ClimateState:
         nlevel = len(bundle.inputs['climate']['pressure'])
         nlayer = nlevel - 1
         nwno = len(wno_np)
+        from .moist import COND_CONSTANTS
+        condensables = (tuple(c for c in species if c in COND_CONSTANTS)
+                        if moist else ())
+        cond_weights = tuple(molmass.molecular_weight(c)
+                             for c in condensables)
+        self.condensables = condensables
         self._config_base = dict(
             species=species, weights=weights, continuum_specs=specs,
             cont_indices=cont_indices, ray_species_rows=ray_rows,
             controls=self.controls,
             delta_eddington=common['delta_eddington'],
-            stream=common['stream'], compute_reflected=(rfacv != 0.0))
+            stream=common['stream'], compute_reflected=(rfacv != 0.0),
+            moist=bool(moist and condensables), condensables=condensables,
+            cond_weights=cond_weights)
+        # host-driven workflow flags (set by run_climate)
+        self.diseq = False
+        self.cloudy = False
+        self.self_consistent_kzz = True
+        self.virga_kwargs = {}
+        self.last_fluxes = None
         self.data = fused.ClimateData(
             plevel=jnp.asarray(
                 np.asarray(bundle.inputs['climate']['pressure']) * PCONV),
@@ -185,7 +202,8 @@ class _ClimateState:
             sigma_ray=jnp.asarray(sigma_ray),
             cld_opd=jnp.zeros((nlayer, nwno)),
             cld_g0=jnp.zeros((nlayer, nwno)),
-            cld_w0=jnp.zeros((nlayer, nwno)))
+            cld_w0=jnp.zeros((nlayer, nwno)),
+            cond_abunds=jnp.zeros((nlayer, max(len(condensables), 1))))
 
     def fused_config(self, it_max, egp_stepmax):
         from . import fused
@@ -210,6 +228,120 @@ class _ClimateState:
                           ['p_reference'],
                           delta_eddington=common['delta_eddington'],
                           stream=common['stream'])
+
+    # ---- host-assembled path (diseq chemistry / virga clouds) -------------
+    def update_diseq_chem(self, temp, pressure_bar):
+        """Kzz -> quench levels -> chemistry adjustments (climate.py:
+        3083-3109 semantics), returning the adjusted profile df."""
+        from . import kzz as kzz_mod
+
+        df = self.premix(temp, pressure_bar)
+        grav_si = float(self.gravity) / 100.0
+        if self.self_consistent_kzz and self.last_fluxes is not None:
+            fnil, fpit = self.last_fluxes
+            mmw_layer = self._mmw_layer(df)
+            dtdp = np.diff(np.log(temp)) / np.diff(np.log(pressure_bar))
+            kz = kzz_mod.get_kzz(pressure_bar, temp, grav_si,
+                                 np.asarray(self.tidal), fnil, fpit,
+                                 self.adiabat, self.last_nstr, mmw_layer,
+                                 dtdp)
+        else:
+            kz = self.bundle.find_kzz()
+            if kz is None:
+                kz = np.zeros(len(temp)) + 1e9
+        self.bundle.inputs['atmosphere'].setdefault('kzz', {})
+        self.bundle.inputs['atmosphere']['kzz']['sc_kzz'] = kz
+
+        mmw_layer = self._mmw_layer(df)
+        scale_h = (1.38e-16 * temp[:-1]
+                   / (mmw_layer * 1.66e-24 * float(self.gravity)))
+        dtdp = np.diff(np.log(temp)) / np.diff(np.log(pressure_bar))
+        qlv, _ = chemistry.quench_levels(
+            pressure_bar, temp, dtdp, kz, mmw_layer, scale_h, grav_si,
+            x_h2o=np.asarray(df.get('H2O', pd.Series(np.zeros(len(temp))))),
+            x_h2=np.asarray(df.get('H2', pd.Series(np.ones(len(temp))))))
+        chem_params = self.bundle.inputs['approx'].get('chem_params', {})
+        self.bundle.adjust_quench_chemistry(qlv)
+        if chem_params.get('vol_rainout'):
+            self.bundle.volatile_rainout(qlv)
+        if chem_params.get('cold_trap'):
+            self.bundle.cold_trap()
+        return self.bundle.inputs['atmosphere']['profile']
+
+    def update_clouds(self, temp, pressure_bar, df):
+        """virga microphysics at the current structure (climate.py:
+        2842-2925 semantics); returns a .cld dataframe."""
+        from .. import virga as vj
+        kz = self.bundle.inputs['atmosphere'].get('kzz', {}).get('sc_kzz')
+        if kz is None:
+            kz = np.zeros(len(temp)) + 1e9
+        ptk = pd.DataFrame({'pressure': pressure_bar, 'temperature': temp,
+                            'kz': np.asarray(kz)[:len(temp)]})
+        vkw = dict(self.virga_kwargs)
+        directory = vkw.pop('directory', None)
+        condensates = vkw.pop('condensates', None) or vj.recommend_gas(
+            pressure_bar, temp, mh=vkw.get('mh', 1.0),
+            mmw=vkw.get('mmw', 2.2))
+        atmo = vj.Atmosphere(condensates, **{k: v for k, v in vkw.items()
+                                             if k in ('fsed', 'mh', 'mmw',
+                                                      'sig')})
+        atmo.gravity = float(self.gravity)
+        atmo.ptk(df=ptk)
+        out = vj.compute(atmo, directory=directory)
+        return vj.picaso_format(out['opd_per_layer'],
+                                out['single_scattering'],
+                                out['asymmetry']), out
+
+    def _mmw_layer(self, df):
+        from .. import molmass
+        cols = [c for c in df.keys()
+                if c not in ('pressure', 'temperature', 'kz', 'e-')]
+        w = np.array([molmass.molecular_weight(c) for c in cols])
+        mix = df[cols].values
+        mmw = mix @ w
+        return 0.5 * (mmw[1:] + mmw[:-1])
+
+    def build_props_host(self, profile_df, cld_df=None):
+        """RTProps from the CURRENT bundle chemistry: resort-rebin per-gas
+        CK mixing when available (diseq), else premixed; optional clouds
+        regridded onto the CK wavenumber grid."""
+        from ..opacities import resortrebin as rr
+        from ..wavelength import get_cld_input_grid, regrid as regrid_rows
+
+        cld = None
+        if cld_df is not None:
+            nlayer = len(profile_df['pressure']) - 1
+            wno = np.asarray(self.ck.wno)
+            cld = {}
+            for k in ('opd', 'g0', 'w0'):
+                m = np.reshape(np.asarray(cld_df[k]), (nlayer, -1))
+                if m.shape[1] != len(wno):
+                    m = regrid_rows(m, get_cld_input_grid(), wno)
+                cld[k] = m.ravel()
+
+        kappa_fn = None
+        if self.diseq and self.ck.per_gas is not None:
+            mixes = np.stack([np.asarray(
+                0.5 * (profile_df[m].values[1:]
+                       + profile_df[m].values[:-1]))
+                for m in self.ck.per_gas_molecules])
+
+            def kappa_fn(atm):
+                return rr.resortrebin_kappa(
+                    self.ck.per_gas, self.ck.arrays.t_inv_grid,
+                    self.ck.arrays.p_log_grid, self.ck.arrays.nc_p,
+                    jnp.asarray(self.ck.gauss_pts),
+                    jnp.asarray(self.ck.gauss_wts), jnp.asarray(mixes),
+                    jnp.asarray(atm.t_layer),
+                    jnp.asarray(atm.p_layer / PCONV))
+
+        common = self.bundle.inputs['approx']['rt_params']['common']
+        return ck_rtprops(profile_df, self.ck, self.gravity,
+                          p_reference=self.bundle.inputs['approx']
+                          ['p_reference'],
+                          delta_eddington=common['delta_eddington'],
+                          stream=common['stream'], cld=cld,
+                          molecular_kappa_fn=kappa_fn)
 
 
 def _reconstruct_host(state, temp, pressure_bar, nstr, nofczns):
@@ -237,12 +369,39 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
     temp_old = temp.copy()
     conv_flag = 0
     result = None
+    host_path = state.diseq or state.cloudy
+    state.last_nstr = list(nstr)
     temp_dev = jnp.asarray(temp)
     for iii in range(itmx):
-        temp_dev, converged, dtdp, fnil, fnvl, fpit = fused.profile_step(
-            temp_dev, zones, state.data, state.chem_grid, state.ck.arrays,
-            state.geom, state.adiabat, config)
+        if host_path:
+            # diseq/cloudy: chemistry+kzz+quench+virga on host, opacities
+            # rebuilt (resort-rebin or premixed+clouds), Newton in one
+            # jitted dispatch (climate.py:3083-3151 order of operations)
+            temp = _reconstruct_host(state, np.asarray(temp_dev),
+                                     pressure_bar, nstr, nofczns)
+            if state.diseq:
+                df = state.update_diseq_chem(temp, pressure_bar)
+            else:
+                df = state.premix(temp, pressure_bar)
+            cld_df = None
+            if state.cloudy:
+                if state.last_fluxes is None and not state.diseq:
+                    state.bundle.inputs['atmosphere'].setdefault(
+                        'kzz', {})['sc_kzz'] = np.zeros(len(temp)) + 1e9
+                cld_df, _ = state.update_clouds(temp, pressure_bar, df)
+            props, atm = state.build_props_host(df, cld_df=cld_df)
+            temp_dev, converged, fnil, fnvl, fpit = fused.newton_solve(
+                jnp.asarray(temp), props, zones, state.data, state.geom,
+                state.ck.arrays, state.adiabat, config)
+            dtdp = (jnp.diff(jnp.log(temp_dev))
+                    / jnp.diff(jnp.log(state.data.plevel)))
+        else:
+            temp_dev, converged, dtdp, fnil, fnvl, fpit = \
+                fused.profile_step(
+                    temp_dev, zones, state.data, state.chem_grid,
+                    state.ck.arrays, state.geom, state.adiabat, config)
         temp = np.asarray(temp_dev)
+        state.last_fluxes = (np.asarray(fnil), np.asarray(fpit))
         if save_profile:
             state.all_profiles.append(temp.copy())
 
@@ -385,13 +544,14 @@ def run_climate(case, opacityclass, save_all_profiles=False,
                 with_spec=False, diseq_chem=False, verbose=True, **kwargs):
     """Top-level climate solve (port of justdoit.climate, :4982-5281).
 
-    Round-1 scope: chemical-equilibrium workflow (cloud-free or static
-    clouds); disequilibrium (quench/photochem) and virga coupling land with
-    the next milestone.
+    Workflows: chemical equilibrium (fully fused, one dispatch per profile
+    iteration), disequilibrium (``diseq_chem=True``: self-consistent MLT
+    kzz + Zahnle-Marley quenching, resort-rebin CK mixing when the
+    connection carries per-gas tables), and cloudy (virga microphysics in
+    the loop when ``case.inputs['climate']['cloudy']`` / virga kwargs are
+    set).  Full photochemical kinetics requires the external photochem
+    package (gated in :mod:`picaso_tpu.photochem`).
     """
-    if diseq_chem:
-        raise NotImplementedError('diseq workflow lands next milestone')
-
     ck: CKTable = opacityclass.ck
     teff = case.inputs['planet']['T_eff']
     min_temp, max_temp = float(ck.temps.min()), float(ck.temps.max())
@@ -416,6 +576,31 @@ def run_climate(case, opacityclass, save_all_profiles=False,
     state = _ClimateState(case, opacityclass, tidal, rfaci, rfacv, tmin,
                           tmax, moist=case.inputs['climate'].get(
                               'moistgrad', False), verbose=verbose)
+    state.diseq = bool(diseq_chem)
+    state.self_consistent_kzz = kwargs.get('self_consistent_kzz', True)
+    virga_kwargs = case.inputs['climate'].get('virga_kwargs', {})
+    state.cloudy = bool(case.inputs['climate'].get('cloudy', False)
+                        or virga_kwargs)
+    state.virga_kwargs = dict(virga_kwargs)
+    if diseq_chem and ck.per_gas is None and verbose:
+        print('diseq_chem=True with a premixed-only CK connection: quench '
+              'adjustments affect continuum/mmw but molecular k stays '
+              'premixed; supply per-gas tables for full resort-rebin '
+              'mixing.')
+
+    if diseq_chem:
+        # climate.py:126-218 diseq workflow: one loose profile + find_strat
+        flag, temp, dtdp, fni, fnv, fpit = profile(
+            state, nofczns, nstr, temp, pressure, it_max=10, itmx=7,
+            conv=5.0, convt=4.0, x_max_mult=7.0, final=False,
+            save_profile=save_all_profiles)
+        flag, temp, dtdp, nstr, fni, fnv, fpit, chem_df = find_strat(
+            state, nofczns, nstr, temp, pressure, dtdp,
+            save_profile=save_all_profiles)
+        return _assemble_climate_output(
+            case, state, opacityclass, pressure, temp, dtdp, nstr, fni,
+            fnv, fpit, chem_df, tidal, rfaci, rfacv, save_all_profiles,
+            with_spec, nlevel, flag=flag)
 
     # STEP 1: loose-tolerance profile (climate.py:270-290)
     flag, temp, dtdp, fni, fnv, fpit = profile(
@@ -431,7 +616,18 @@ def run_climate(case, opacityclass, save_all_profiles=False,
     flag, temp, dtdp, nstr, fni, fnv, fpit, chem_df = find_strat(
         state, nofczns, nstr, temp, pressure, dtdp,
         save_profile=save_all_profiles)
+    out = _assemble_climate_output(
+        case, state, opacityclass, pressure, temp, dtdp, nstr, fni, fnv,
+        fpit, chem_df, tidal, rfaci, rfacv, save_all_profiles, with_spec,
+        nlevel)
+    out['converged'] = flag
+    return out
 
+
+def _assemble_climate_output(case, state, opacityclass, pressure, temp,
+                             dtdp, nstr, fni, fnv, fpit, chem_df, tidal,
+                             rfaci, rfacv, save_all_profiles, with_spec,
+                             nlevel, flag=1):
     flux_net = rfacv * fnv + rfaci * fni + tidal
     out = {
         'pressure': pressure, 'temperature': temp, 'ptchem_df': chem_df,
@@ -441,12 +637,22 @@ def run_climate(case, opacityclass, save_all_profiles=False,
         'flux_balance': dict(flux_net_ir=fni, flux_net_v=fnv, tidal=tidal,
                              rfacv=rfacv, rfaci=rfaci, flux_net=flux_net),
     }
+    kz = case.inputs['atmosphere'].get('kzz', {})
+    if isinstance(kz, dict) and kz.get('sc_kzz') is not None and \
+            not isinstance(kz.get('sc_kzz'), int):
+        out['kzz'] = np.asarray(kz['sc_kzz'])
+    if state.cloudy:
+        cld_df, cld_out = state.update_clouds(temp, pressure, chem_df)
+        out['cld_df'] = cld_df
+        out['virga_output'] = cld_out
     if save_all_profiles:
         out['all_profiles'] = np.concatenate(
             [p[None] for p in state.all_profiles]) \
             if state.all_profiles else np.zeros((0, nlevel))
     if with_spec:
         case.atmosphere(df=chem_df)
+        if state.cloudy:
+            case.clouds(df=out['cld_df'])
         out['spectrum_output'] = case.spectrum(opacityclass,
                                                calculation='thermal',
                                                full_output=True)

@@ -116,25 +116,38 @@ def zone_maps(nstr, nofczns, nlevel) -> ZoneMaps:
 
 
 def reconstruct_profile(beta, zones: ZoneMaps, plevel, adiabat: AdiabatGrid,
-                        pconv=1e6):
+                        pconv=1e6, moist_args=None):
     """Radiative levels take beta; convective levels follow the adiabat.
 
     Scan version of climate.py:1122-1152: t[j] = exp(ln t[j-1] +
     grad(t[j-1], sqrt(p[j-1] p[j])) dlnp) inside convective zones.
+    With ``moist_args = (cond_abunds [nlayer, ncond], condensables,
+    weights)`` the gradient is the moist adiabat (climate.py:1147-1150).
     """
     p_bar = plevel / pconv
     p_mid = jnp.sqrt(p_bar[:-1] * p_bar[1:])
     dlnp = jnp.log(p_bar[1:]) - jnp.log(p_bar[:-1])
+    if moist_args is not None:
+        from .moist import moist_grad
+        cond_abunds, condensables, weights = moist_args
+        xs_abunds = cond_abunds
+    else:
+        xs_abunds = jnp.zeros((p_mid.shape[0], 1), beta.dtype)
 
     def step(t_prev, row):
-        beta_j, conv_j, pm, dl = row
-        grad_x, _ = did_grad_cp(t_prev, pm, adiabat)
+        beta_j, conv_j, pm, dl, qc = row
+        if moist_args is not None:
+            grad_x, _ = moist_grad(t_prev, pm, adiabat, qc, condensables,
+                                   weights)
+        else:
+            grad_x, _ = did_grad_cp(t_prev, pm, adiabat)
         t_ad = jnp.exp(jnp.log(t_prev) + grad_x * dl)
         t_j = jnp.where(conv_j, t_ad, beta_j)
         return t_j, t_j
 
     _, t_rest = jax.lax.scan(step, beta[0],
-                             (beta[1:], zones.is_conv[1:], p_mid, dlnp))
+                             (beta[1:], zones.is_conv[1:], p_mid, dlnp,
+                              xs_abunds))
     return jnp.concatenate([beta[:1], t_rest])
 
 

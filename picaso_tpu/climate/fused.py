@@ -51,6 +51,9 @@ class ClimateConfig:
     compute_reflected: bool = True
     it_max: int = 10
     egp_stepmax: bool = False
+    moist: bool = False
+    condensables: tuple = ()
+    cond_weights: tuple = ()
     alf: float = 1e-4
     tolmin: float = 1e-5
     tolf: float = 5e-3
@@ -72,6 +75,7 @@ class ClimateData(NamedTuple):
     cld_opd: jnp.ndarray           # [nlayer, nwno] (zeros if cloud-free)
     cld_g0: jnp.ndarray
     cld_w0: jnp.ndarray
+    cond_abunds: jnp.ndarray       # [nlayer, ncond] for the moist adiabat
 
 
 def build_opacities(temp, data: ClimateData, chem: ChemGrid, ck: CKArrays,
@@ -148,6 +152,13 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
     Returns (temp, converged flag, flux_net_ir_layer, flux_net_v_layer,
     flux_plus_ir_top).
     """
+    moist_args = ((data.cond_abunds, config.condensables,
+                   config.cond_weights) if config.moist else None)
+
+    def _reconstruct(beta):
+        return reconstruct_profile(beta, zones, data.plevel, adiabat,
+                                   moist_args=moist_args)
+
     nlevel = temp.shape[0]
     wno, dwno, gauss_wts = ck.wno, ck.delta_wno, ck.gauss_wts
     sr = data.surf_reflect
@@ -175,8 +186,7 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
             jm = zones.pert_levels[m]
             del_t = jnp.maximum(eps * temp_old[jm], 3.0)
             beta_p = beta.at[jm].add(del_t)
-            temp_p = reconstruct_profile(beta_p, zones, data.plevel,
-                                         adiabat)
+            temp_p = _reconstruct(beta_p)
             fni, fnil, _ = ir_fluxes(temp_p)
             dlev = fni[zones.resid_level] - fni_old[zones.resid_level]
             dmid = fnil[zones.resid_level] - fnil_old[zones.resid_level]
@@ -190,7 +200,7 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
     def apply_step(beta, p_step, alam):
         add = jnp.zeros_like(beta).at[zones.pert_levels].add(
             jnp.where(active, alam * p_step, 0.0))
-        t = reconstruct_profile(beta + add, zones, data.plevel, adiabat)
+        t = _reconstruct(beta + add)
         return jnp.clip(t, data.tmin + 0.1, data.tmax - 0.1)
 
     fni0, fnil0, fpit0 = ir_fluxes(temp)
@@ -341,10 +351,27 @@ def profile_step(temp, zones: ZoneMaps, data: ClimateData, chem: ChemGrid,
                  config: ClimateConfig):
     """One full profile iteration: adiabat re-stitch -> chemistry ->
     opacities -> Newton solve.  ONE device dispatch."""
-    temp = reconstruct_profile(temp, zones, data.plevel, adiabat)
+    if config.moist:
+        # condensable abundances at the incoming structure feed the moist
+        # adiabat (held fixed through the Newton solve, climate.py:3038-3054)
+        p_bar = data.plevel / PCONV
+        mix_level = chem_interp(chem, temp, p_bar)
+        mix_layer = 0.5 * (mix_level[1:] + mix_level[:-1])
+        cols = [chem.species.index(c) for c in config.condensables]
+        data = data._replace(cond_abunds=mix_layer[:, jnp.asarray(cols)])
+        moist_args = (data.cond_abunds, config.condensables,
+                      config.cond_weights)
+    else:
+        moist_args = None
+    temp = reconstruct_profile(temp, zones, data.plevel, adiabat,
+                               moist_args=moist_args)
     props = build_opacities(temp, data, chem, ck, config)
     temp_new, converged, fnil, fnvl, fpit = newton_solve(
         temp, props, zones, data, geom, ck, adiabat, config)
     dtdp = (jnp.diff(jnp.log(temp_new))
             / jnp.diff(jnp.log(data.plevel)))
     return temp_new, converged, dtdp, fnil, fnvl, fpit
+
+
+# jitted entry for host-assembled opacities (diseq / cloudy paths)
+newton_solve = partial(jax.jit, static_argnames=('config',))(newton_solve)

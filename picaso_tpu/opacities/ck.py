@@ -57,7 +57,13 @@ class CKTable:
     """Host-side CK connection: device arrays + chemistry table metadata."""
 
     def __init__(self, arrays: CKArrays, molecules, full_abunds: pd.DataFrame,
-                 gauss_pts, temps, pressures):
+                 gauss_pts, temps, pressures, per_gas=None,
+                 per_gas_molecules=None):
+        # optional per-gas ln-k tables [ngas, npress, ntemp, nwno, ngauss]
+        # for on-the-fly resort-rebin mixing (disequilibrium chemistry)
+        self.per_gas = per_gas
+        self.per_gas_molecules = (tuple(per_gas_molecules)
+                                  if per_gas_molecules else ())
         self.arrays = arrays
         self.molecules = tuple(molecules)
         self.full_abunds = full_abunds      # includes pressure/temperature
@@ -154,7 +160,8 @@ def load_ck_db(ck_db, method='preweighted', continuum_db=None,
 
 def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
                                                      'NH3'),
-                       ntemp=10, npress=10, seed=7, dtype=np.float32):
+                       ntemp=10, npress=10, seed=7, dtype=np.float32,
+                       with_per_gas=False):
     """Synthetic premixed CK table on the 196-point EGP grid.
 
     Built from the same band-structured synthetic cross sections as the
@@ -216,7 +223,22 @@ def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
         cont_opa=jnp.asarray(cont),
         cia_temps=jnp.asarray(cia_temps, dtype),
         continuum_molecules=cont_mols)
-    return CKTable(arrays, molecules, abunds, gauss_pts, temps, pressures)
+    per_gas = None
+    if with_per_gas:
+        # per-gas tables consistent with the same synthetic cross sections
+        # (same band structure, per-molecule, no premixing)
+        ngauss_ = len(gauss_pts)
+        spread = np.linspace(-1.5, 2.5, ngauss_)
+        per_gas = np.zeros((len(molecules), npress, ntemp, len(wno),
+                            ngauss_), dtype)
+        for ig, mol in enumerate(molecules):
+            sig = synthetic_cross_sections(mol, wno, temps, pressures,
+                                           seed=seed)
+            base = np.log(np.maximum(sig, 1e-50)).transpose(1, 0, 2)
+            per_gas[ig] = base[..., None] + spread[None, None, None, :]
+        per_gas = jnp.asarray(per_gas)
+    return CKTable(arrays, molecules, abunds, gauss_pts, temps, pressures,
+                   per_gas=per_gas, per_gas_molecules=molecules)
 
 
 # ---------------------------------------------------------------------------
