@@ -156,3 +156,132 @@ def synthetic_opacity_grid(wno, molecules=('H2O', 'CH4', 'CO', 'NH3'),
                        cia_temps=jnp.asarray(cia_temps, dtype),
                        molecules=tuple(molecules),
                        continuum_molecules=tuple(continuum))
+
+
+# ---------------------------------------------------------------------------
+# correlated-k table generation (offline tooling)
+# ---------------------------------------------------------------------------
+
+def compute_k_distribution(sigma, wno, bin_edges, gauss_pts):
+    """k-coefficients per spectral bin from monochromatic cross sections.
+
+    For each bin, the k-distribution is the quantile function of the
+    cross-section values inside the bin evaluated at the g-point
+    quadrature (the double-Gauss scheme of opacity_factory.py:1474).
+    sigma: [..., nwno_mono]; returns [..., nbins, ngauss].
+    """
+    wno = np.asarray(wno)
+    lead = sigma.shape[:-1]
+    nbins = len(bin_edges) - 1
+    out = np.zeros(lead + (nbins, len(gauss_pts)))
+    for b in range(nbins):
+        sel = (wno >= bin_edges[b]) & (wno < bin_edges[b + 1])
+        if not sel.any():
+            out[..., b, :] = 1e-50
+            continue
+        vals = np.sort(sigma[..., sel], axis=-1)
+        n = vals.shape[-1]
+        g = (np.arange(n) + 0.5) / n
+        flat = vals.reshape(-1, n)
+        kd = np.stack([np.interp(gauss_pts, g, row) for row in flat])
+        out[..., b, :] = kd.reshape(lead + (len(gauss_pts),))
+    return out
+
+
+def compute_ck_molecular(mono_db, molecule, bin_edges, order=4, gfrac=0.95):
+    """Per-molecule CK table from a reference-schema monochromatic sqlite
+    (opacity_factory.py:1748 analog).
+
+    Returns dict with kcoeffs [npress, ntemp, nbins, ngauss] (ln sigma),
+    grids, and quadrature.
+    """
+    from .db import connect
+    from .ck import double_gauss_points
+
+    gauss_pts, gauss_wts = double_gauss_points(order, gfrac)
+    cur, conn = connect(mono_db)
+    cur.execute('SELECT wavenumber_grid FROM header')
+    wno = cur.fetchone()[0]
+    cur.execute('SELECT DISTINCT ptid, pressure, temperature FROM '
+                'molecular WHERE molecule = ? ORDER BY ptid', (molecule,))
+    pt = cur.fetchall()
+    temps = np.unique([t for _, _, t in pt])
+    pressures = np.unique([p for _, p, _ in pt])
+    npress, ntemp = len(pressures), len(temps)
+    nbins = len(bin_edges) - 1
+    kco = np.zeros((npress, ntemp, nbins, len(gauss_pts)))
+    cur.execute('SELECT ptid, pressure, temperature, opacity FROM '
+                'molecular WHERE molecule = ?', (molecule,))
+    for ptid, p, t, op in cur.fetchall():
+        ip = int(np.searchsorted(pressures, p))
+        it = int(np.searchsorted(temps, t))
+        kco[ip, it] = compute_k_distribution(
+            np.asarray(op)[None], wno, bin_edges, gauss_pts)[0]
+    conn.close()
+    centers = 0.5 * (np.asarray(bin_edges[1:]) + np.asarray(bin_edges[:-1]))
+    return dict(kcoeffs=np.log(np.maximum(kco, 1e-50)),
+                wno=centers, delta_wno=np.diff(bin_edges),
+                pressures=pressures, temps=temps, gauss_pts=gauss_pts,
+                gauss_wts=gauss_wts, molecule=molecule)
+
+
+def compute_sum_molecular(mono_db, abundances, bin_edges, order=4,
+                          gfrac=0.95):
+    """Premixed CK table: abundance-weighted sum of cross sections,
+    k-distributed per bin (opacity_factory.py:1530 analog).
+
+    abundances: dict molecule -> vmr (scalar, applied at every grid point).
+    """
+    from .db import connect
+    from .ck import double_gauss_points
+
+    gauss_pts, gauss_wts = double_gauss_points(order, gfrac)
+    cur, conn = connect(mono_db)
+    cur.execute('SELECT wavenumber_grid FROM header')
+    wno = cur.fetchone()[0]
+    cur.execute('SELECT DISTINCT pressure, temperature FROM molecular')
+    pt = cur.fetchall()
+    temps = np.unique([t for _, t in pt])
+    pressures = np.unique([p for p, _ in pt])
+    mixed = np.zeros((len(pressures), len(temps), len(wno)))
+    for mol, vmr in abundances.items():
+        cur.execute('SELECT pressure, temperature, opacity FROM molecular '
+                    'WHERE molecule = ?', (mol,))
+        for p, t, op in cur.fetchall():
+            ip = int(np.searchsorted(pressures, p))
+            it = int(np.searchsorted(temps, t))
+            mixed[ip, it] += vmr * np.asarray(op)
+    conn.close()
+    kco = compute_k_distribution(mixed, wno, bin_edges, gauss_pts)
+    centers = 0.5 * (np.asarray(bin_edges[1:]) + np.asarray(bin_edges[:-1]))
+    return dict(kcoeffs=np.log(np.maximum(kco, 1e-50)),
+                wno=centers, delta_wno=np.diff(bin_edges),
+                pressures=pressures, temps=temps, gauss_pts=gauss_pts,
+                gauss_wts=gauss_wts)
+
+
+def write_ck_hdf5(filename, ck, molecules, abunds):
+    """Write a premixed CK table in the reference hdf5 format
+    (get_ck_tables layout, opacity_factory.py:2221-2268)."""
+    import h5py
+
+    temps, pressures = ck['temps'], ck['pressures']
+    npress, ntemp = len(pressures), len(temps)
+    temps_flat = np.repeat(temps, npress)
+    press_flat = np.tile(pressures, ntemp)
+    abunds_arr = np.column_stack([np.zeros(ntemp * npress) + abunds[m]
+                                  for m in molecules])
+    with h5py.File(filename, 'w') as f:
+        f.create_dataset('ck_molecules',
+                         data=[m.encode() for m in molecules])
+        f.create_dataset('wno', data=ck['wno'])
+        f.create_dataset('delta_wno', data=ck['delta_wno'])
+        f.create_dataset('pressures', data=press_flat)
+        f.create_dataset('temperatures', data=temps_flat)
+        f.create_dataset('gauss_pts', data=ck['gauss_pts'])
+        f.create_dataset('gauss_wts', data=ck['gauss_wts'])
+        f.create_dataset('kcoeffs', data=ck['kcoeffs'])
+        f.create_dataset('abunds', data=abunds_arr)
+        f.create_dataset('abunds_map',
+                         data=[m.encode() for m in molecules])
+    return filename

@@ -1,0 +1,122 @@
+"""Opacity-factory CK generation: k-distribution correctness + the CK
+spectrum reproducing the binned monochromatic spectrum."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picaso_tpu import justdoit as jdi
+from picaso_tpu.opacities import factory
+from picaso_tpu.opacities.ck import double_gauss_points, load_ck_db
+from picaso_tpu.wavelength import mean_regrid
+
+
+def test_k_distribution_preserves_mean():
+    """Integral of the k-distribution over g = bin-mean cross section."""
+    gauss_pts, gauss_wts = double_gauss_points()
+    rng = np.random.default_rng(0)
+    wno = np.linspace(1000, 2000, 400)
+    sigma = 10 ** rng.uniform(-26, -21, (1, 400))
+    edges = np.array([1000.0, 1500.0, 2000.0001])
+    kd = factory.compute_k_distribution(sigma, wno, edges, gauss_pts)
+    for b, sel in enumerate([(wno >= 1000) & (wno < 1500),
+                             (wno >= 1500)]):
+        mean_direct = sigma[0, sel].mean()
+        mean_kd = gauss_wts @ kd[0, b]
+        np.testing.assert_allclose(mean_kd, mean_direct, rtol=0.05)
+    # monotonic non-decreasing in g
+    assert (np.diff(kd, axis=-1) >= 0).all()
+
+
+@pytest.fixture(scope='module')
+def mono_db(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp('opa') / 'mono.db')
+    wno = np.linspace(300.0, 10300.0, 2000)
+    factory.build_synthetic_db(path, wno, ntemp=8, npress=6)
+    return path, wno
+
+
+def test_ck_generation_roundtrip(mono_db, tmp_path):
+    path, wno = mono_db
+    edges = np.linspace(300.0, 10300.0, 41)
+    abunds = {'H2O': 1e-3, 'CH4': 5e-4, 'CO': 3e-4, 'NH3': 1e-4}
+    ck = factory.compute_sum_molecular(path, abunds, edges)
+    assert ck['kcoeffs'].shape == (6, 8, 40, 8)
+    fn = str(tmp_path / 'premixed.hdf5')
+    factory.write_ck_hdf5(fn, ck, list(abunds), abunds)
+    # (load_ck_db requires a continuum DB on the same grid; the bundled one
+    # is 196-pt, so verify the written format directly)
+    import h5py
+    with h5py.File(fn, 'r') as f:
+        assert list(f['ck_molecules'])[0].decode() == 'H2O'
+        np.testing.assert_allclose(f['kcoeffs'][:], ck['kcoeffs'])
+        assert f['abunds'].shape == (48, 4)
+
+
+def test_ck_thermal_matches_binned_monochromatic(mono_db):
+    """Thermal spectrum through generated CK tables ~ binned mono spectrum.
+
+    The core validity check of the correlated-k machinery: bin-integrated
+    thermal flux from the k-distribution should track the mean of the
+    monochromatic flux in each bin.
+    """
+    path, wno = mono_db
+    opa_mono = jdi.opannection(filename_db=path)
+
+    edges = np.linspace(300.0, 10300.0, 41)
+    abunds = {'H2O': 1e-3, 'CH4': 5e-4, 'CO': 3e-4, 'NH3': 1e-4}
+    ck = factory.compute_sum_molecular(path, abunds, edges)
+
+    # wrap the generated table in a CKTable with a matching synthetic
+    # continuum (zero continuum keeps the comparison purely molecular)
+    import jax.numpy as jnp
+    from picaso_tpu.opacities.ck import CKArrays, CKTable
+    ngauss = len(ck['gauss_pts'])
+    arrays = CKArrays(
+        wno=jnp.asarray(ck['wno']), delta_wno=jnp.asarray(ck['delta_wno']),
+        gauss_wts=jnp.asarray(ck['gauss_wts']),
+        ln_kappa=jnp.asarray(ck['kcoeffs']),
+        p_log_grid=jnp.asarray(np.log10(ck['pressures'])),
+        t_inv_grid=jnp.asarray(1.0 / ck['temps']),
+        nc_p=jnp.asarray(np.full(len(ck['temps']), len(ck['pressures'])),
+                         jnp.int32),
+        cont_opa=jnp.zeros((0, 2, len(ck['wno']))),
+        cia_temps=jnp.asarray([100.0, 3000.0]),
+        continuum_molecules=())
+    rows = []
+    for T in ck['temps']:
+        for P in ck['pressures']:
+            rows.append({**abunds, 'H2': 0.84, 'He': 0.155,
+                         'temperature': T, 'pressure': P})
+    table = CKTable(arrays, list(abunds), pd.DataFrame(rows),
+                    ck['gauss_pts'], ck['temps'], ck['pressures'])
+    opa_ck = jdi.opannection(ck_table=table)
+
+    def run(opa):
+        case = jdi.inputs(calculation='browndwarf')
+        case.phase_angle(0)
+        case.gravity(gravity=300, gravity_unit=jdi.u.Unit('m/(s**2)'))
+        nlevel = 40
+        pressure = np.logspace(-4, 2, nlevel)
+        case.atmosphere(df=pd.DataFrame({
+            'pressure': pressure,
+            'temperature': np.clip(1300 * (pressure / 30) ** 0.1, 400,
+                                   None),
+            'H2O': np.zeros(nlevel) + abunds['H2O'],
+            'CH4': np.zeros(nlevel) + abunds['CH4'],
+            'CO': np.zeros(nlevel) + abunds['CO'],
+            'NH3': np.zeros(nlevel) + abunds['NH3'],
+            'H2': np.zeros(nlevel) + 0.84,
+            'He': np.zeros(nlevel) + 0.155}))
+        return case.spectrum(opa, calculation='thermal')
+
+    out_mono = run(opa_mono)
+    out_ck = run(opa_ck)
+    _, mono_binned = mean_regrid(out_mono['wavenumber'],
+                                 out_mono['thermal'], newx=ck['wno'])
+    ck_flux = out_ck['thermal']
+    sel = np.isfinite(mono_binned) & (mono_binned > 0)
+    ratio = ck_flux[sel] / mono_binned[sel]
+    # k-distribution vs line-by-line: agree to ~10% median, 35% worst-bin
+    assert abs(np.median(ratio) - 1) < 0.1, np.median(ratio)
+    assert np.percentile(np.abs(ratio - 1), 95) < 0.35
