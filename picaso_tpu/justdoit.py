@@ -1345,3 +1345,201 @@ def young_planets():
     """Benchmark young planets (ZJ's compilation; justdoit.py:5640)."""
     return pd.read_csv(refdata_path('evolution', 'benchmarks_age_lbol.csv'),
                        skiprows=12)
+
+
+# ---------------------------------------------------------------------------
+# equilibrium-chemistry grids (Visscher) + Sonora profiles
+# ---------------------------------------------------------------------------
+
+def _parse_visscher_grid(filename):
+    """Parse a Visscher grid text file (T, log10 P, species columns).
+
+    Handles the '2015_06_1060grid_feh_*' / 'sonora_2121grid_*' layout:
+    header line with 'T (K)  P (bar)  <species...>', then rows with
+    temperature [K], log10 pressure [bar], abundances.
+    """
+    with open(filename) as f:
+        header = f.readline()
+    # species names are the tokens after the two parenthesized units
+    tokens = header.replace('T (K)', '').replace('P (bar)', '').split()
+    species = tokens
+    data = np.loadtxt(filename, skiprows=1)
+    df = pd.DataFrame(data[:, 2:], columns=species)
+    df['temperature'] = data[:, 0]
+    df['pressure'] = 10.0 ** data[:, 1]
+    return df
+
+
+def _nearest_grid_file(directory, pattern_prefix, log_mh, cto):
+    """Pick the grid file nearest in (feh, co) from its filename."""
+    import re
+    files = [f for f in os.listdir(directory)
+             if f.startswith(pattern_prefix)]
+    best, best_d = None, np.inf
+    for f in files:
+        m = re.search(r'feh([_+-]?[\d.]+)_co([\d.]+)', f)
+        if not m:
+            continue
+        feh_s = m.group(1).replace('_', '')
+        feh = float(feh_s) / (100 if feh_s.lstrip('+-').isdigit()
+                              and len(feh_s.lstrip('+-')) > 1
+                              and '.' not in feh_s else 1)
+        co_s = m.group(2)
+        co = float(co_s) / (100 if '.' not in co_s else 1)
+        d = (feh - log_mh) ** 2 + (co - cto) ** 2
+        if d < best_d:
+            best, best_d = f, d
+    if best is None:
+        raise FileNotFoundError(
+            f'no {pattern_prefix}* chemistry grids in {directory}')
+    return os.path.join(directory, best)
+
+
+class _ChemGridMixin:
+    """Chemistry-grid methods bound onto inputs below."""
+
+    def channon_grid_low(self, filename=None):
+        """Low-T Visscher equilibrium chemistry on the 1060-style grid
+        (justdoit.py sonora chem='low' path)."""
+        from . import chemistry as chem_mod
+        filename = filename or refdata_path('chemistry',
+                                            'visscher_abunds_m+0.0_co1.0')
+        table = pd.read_csv(filename, index_col=0)
+        grid = chem_mod.chem_grid_from_table(table)
+        self._apply_chem_grid(grid)
+
+    def chemeq_visscher_1060(self, cto_absolute=1.0, log_mh=0.0):
+        """Visscher 1060-grid equilibrium chemistry (justdoit.py:3028).
+
+        Grids resolve through $picaso_refdata/chemistry/visscher_grid_1060
+        (full set) or the bundled solar-composition file.
+        """
+        from . import chemistry as chem_mod
+        from .refdata import external_refdata
+        ext = external_refdata()
+        directory = (os.path.join(ext, 'chemistry', 'visscher_grid_1060')
+                     if ext else None)
+        if directory and os.path.isdir(directory):
+            fn = _nearest_grid_file(directory, '2015_06_1060grid',
+                                    log_mh, cto_absolute)
+        else:
+            fn = refdata_path('chemistry',
+                              '2015_06_1060grid_feh_00_co_10.txt')
+        table = _parse_visscher_grid(fn)
+        grid = chem_mod.chem_grid_from_table(table)
+        self._apply_chem_grid(grid)
+
+    def chemeq_visscher_2121(self, cto_absolute=0.458, log_mh=0.0):
+        """Visscher 2121-grid equilibrium chemistry (justdoit.py:2837);
+        needs the downloaded visscher_grid_2121 set in $picaso_refdata."""
+        from . import chemistry as chem_mod
+        from .refdata import external_refdata
+        ext = external_refdata()
+        directory = (os.path.join(ext, 'chemistry', 'visscher_grid_2121')
+                     if ext else None)
+        if not (directory and os.path.isdir(directory)):
+            raise FileNotFoundError(
+                'the 2121-point Visscher grids are not bundled; set '
+                'picaso_refdata to a directory containing '
+                'chemistry/visscher_grid_2121 (see picaso_tpu.data)')
+        fn = _nearest_grid_file(directory, 'sonora_2121grid', log_mh,
+                                cto_absolute)
+        table = _parse_visscher_grid(fn)
+        grid = chem_mod.chem_grid_from_table(table)
+        self._apply_chem_grid(grid)
+
+    def _apply_chem_grid(self, grid):
+        from . import chemistry as chem_mod
+        prof = self.inputs['atmosphere']['profile']
+        abunds = np.asarray(chem_mod.chem_interp(
+            grid, jnp.asarray(np.asarray(prof['temperature'], float)),
+            jnp.asarray(np.asarray(prof['pressure'], float))))
+        out = pd.DataFrame({'pressure': np.asarray(prof['pressure']),
+                            'temperature': np.asarray(prof['temperature'])})
+        for i, sp in enumerate(grid.species):
+            out[sp] = abunds[:, i]
+        self.inputs['atmosphere']['profile'] = out
+        self.nlevel = out.shape[0]
+        return out
+
+    def sonora_profile(self, sonora_path, teff, chem='low'):
+        """Load the nearest Sonora Bobcat PT profile (justdoit.py:2759).
+
+        Accepts directories of .cmp.gz or .dat structure files from the
+        Bobcat Zenodo releases; gravity must already be set.
+        """
+        import math as _math
+        g = self.inputs['planet']['gravity'] / 100.0
+        flist = [i for i in os.listdir(sonora_path) if i[:2] != '._']
+        if any('cmp.gz' in f for f in flist):
+            flist = [f for f in flist if 'gz' in f]
+            suffix = 'nc' + flist[0].split('nc')[-1]
+            pairs = [(f, float(f.split('g')[0][1:]),
+                      float(f.split('g')[1].split('nc')[0]))
+                     for f in flist]
+            best = min(pairs, key=lambda c: _math.hypot(c[1] - teff,
+                                                        c[2] - g))[0]
+            ptchem = pd.read_csv(os.path.join(sonora_path, best),
+                                 sep=r'\s+', compression='gzip')
+            ptchem = ptchem.rename(columns={'P(BARS)': 'pressure',
+                                            'TEMP': 'temperature',
+                                            'HE': 'He'})
+            self.inputs['atmosphere']['profile'] = ptchem.loc[
+                :, ['pressure', 'temperature']]
+            self.nlevel = ptchem.shape[0]
+        elif any(f.endswith('.dat') for f in flist):
+            flist = [f for f in flist if f.endswith('.dat')]
+            pairs = [(f, float(f.split('g')[0][1:]),
+                      float(f.split('g')[1].split('nc')[0]))
+                     for f in flist]
+            best = min(pairs, key=lambda c: _math.hypot(c[1] - teff,
+                                                        c[2] - g))[0]
+            pressure, temp = np.loadtxt(os.path.join(sonora_path, best),
+                                        usecols=[1, 2], unpack=True,
+                                        skiprows=1)
+            self.add_pt(temp, pressure)
+        else:
+            raise FileNotFoundError(
+                f'no .cmp.gz or .dat Sonora structure files in '
+                f'{sonora_path}')
+        if chem == 'low':
+            self.channon_grid_low()
+        elif chem == 'grid':
+            self.chemeq_visscher_1060(cto_absolute=0.458, log_mh=0.0)
+
+
+# bind the chemistry-grid methods onto inputs
+for _name in ('channon_grid_low', 'chemeq_visscher_1060',
+              'chemeq_visscher_2121', '_apply_chem_grid',
+              'sonora_profile'):
+    setattr(inputs, _name, getattr(_ChemGridMixin, _name))
+inputs.sonora = _ChemGridMixin.sonora_profile
+
+
+def get_targets():
+    """All confirmed planets from the NASA Exoplanet Archive
+    (justdoit.py:5283; requires network access)."""
+    url = ('https://exoplanetarchive.ipac.caltech.edu/TAP/sync?query='
+           'select+*+from+PSCompPars&format=csv')
+    return pd.read_csv(url)
+
+
+def load_planet(name, opacity, **kwargs):
+    """Build an inputs bundle from archive parameters for one planet
+    (justdoit.py:5296)."""
+    df = get_targets()
+    row = df[df['pl_name'].str.strip() == name]
+    if len(row) == 0:
+        raise ValueError(f'{name} not found in the exoplanet archive')
+    row = row.iloc[0]
+    case = inputs()
+    case.phase_angle(0)
+    case.gravity(radius=float(row['pl_radj']), radius_unit=u.Unit('Rjup'),
+                 mass=float(row['pl_bmassj']), mass_unit=u.Unit('Mjup'))
+    case.star(opacity, float(row['st_teff']), float(row.get('st_met', 0.0)
+                                                    or 0.0),
+              float(row['st_logg']), radius=float(row['st_rad']),
+              radius_unit=u.Unit('Rsun'),
+              semi_major=float(row['pl_orbsmax']),
+              semi_major_unit=u.Unit('au'))
+    return case
