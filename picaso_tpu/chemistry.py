@@ -123,7 +123,8 @@ def _oh_concentration(temp, press_bar, x_h2o, x_h2):
 
 
 def quench_levels(pressure_bar, temp, dtdp, kz, mmw_layer, scale_height,
-                  grav_si, mh_linear=1.0, x_h2o=None, x_h2=None):
+                  grav_si, mh_linear=1.0, x_h2o=None, x_h2=None,
+                  strict=True):
     """Quench level indices (Zahnle & Marley 2014 timescales).
 
     Port of deq_chem.py:5-152 ``get_quench_levels``: mixing time H^2/Kzz vs
@@ -179,8 +180,11 @@ def quench_levels(pressure_bar, temp, dtdp, kz, mmw_layer, scale_height,
     out = {}
     for name, t_chem in t_chems.items():
         if name != 'PH3' and np.max(t_mix) < np.min(t_chem):
-            raise ValueError(f'{name} mixing across the whole pressure '
-                             'range; start with a deeper pressure grid')
+            if strict:
+                raise ValueError(f'{name} mixing across the whole pressure '
+                                 'range; start with a deeper pressure grid')
+            out[name] = nlevel - 2  # quench at depth (non-strict mode)
+            continue
         for j in range(nlevel - 1, 0, -1):
             if (t_mix[j - 1] <= t_chem[j - 1]) and (t_mix[j] >= t_chem[j]):
                 out[name] = int(min(j, nlevel - 2))

@@ -259,7 +259,8 @@ class _ClimateState:
         qlv, _ = chemistry.quench_levels(
             pressure_bar, temp, dtdp, kz, mmw_layer, scale_h, grav_si,
             x_h2o=np.asarray(df.get('H2O', pd.Series(np.zeros(len(temp))))),
-            x_h2=np.asarray(df.get('H2', pd.Series(np.ones(len(temp))))))
+            x_h2=np.asarray(df.get('H2', pd.Series(np.ones(len(temp))))),
+            strict=False)
         chem_params = self.bundle.inputs['approx'].get('chem_params', {})
         self.bundle.adjust_quench_chemistry(qlv)
         if chem_params.get('vol_rainout'):
