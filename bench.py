@@ -51,6 +51,10 @@ def build_problem(nwno, dtype=np.float32):
     scene, config = pipeline.scene_from_arrays(
         pressure, temperature, mix, grid, gravity=2500.0,
         radius=7.1492e9, mass=1.898e30, cld=cld, dtype=dtype)
+    import dataclasses
+    import jax
+    config = dataclasses.replace(
+        config, use_pallas=jax.default_backend() not in ('cpu', 'gpu'))
     return scene, grid, config
 
 

@@ -79,6 +79,10 @@ class SpectrumConfig:
     reflected: bool = True
     thermal: bool = True
     transmission: bool = False
+    # Pallas VMEM megakernels for the RT solves (rt/pallas_toon.py) —
+    # ~4.5x on TPU by eliminating scan-boundary HBM traffic.  Off by
+    # default so CPU tests and non-TPU backends take the scan path.
+    use_pallas: bool = False
 
     def mix_row(self, name):
         return dict(self.mix_index)[name]
@@ -143,22 +147,41 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
 
     out = {}
     if config.reflected:
-        xint, _ = toon.reflected_1d(
-            props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
-            props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
-            props.w0_og, props.cosb_og, scene.surf_reflect, scene.ubar0,
-            scene.ubar1, config.cos_theta, scene.F0PI,
-            controls=config.controls, get_toa_intensity=True,
-            get_lvl_flux=False)
+        if config.use_pallas:
+            from .rt.pallas_toon import reflected_pallas
+            xint = reflected_pallas(
+                props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
+                props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
+                props.w0_og, props.cosb_og, scene.surf_reflect, scene.ubar0,
+                scene.ubar1, config.cos_theta, scene.F0PI,
+                controls=config.controls)
+        else:
+            xint, _ = toon.reflected_1d(
+                props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
+                props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
+                props.w0_og, props.cosb_og, scene.surf_reflect, scene.ubar0,
+                scene.ubar1, config.cos_theta, scene.F0PI,
+                controls=config.controls, get_toa_intensity=True,
+                get_lvl_flux=False)
         out['albedo'] = disco_mod.compress_disco(
             xint, scene.gweight, scene.tweight, config.cos_theta,
             scene.F0PI)
     if config.thermal:
-        flux_top, _ = toon.thermal_1d(
-            scene.tlevel, props.dtau_og, props.w0_no_raman, props.cosb_og,
-            scene.plevel, scene.ubar1, scene.surf_reflect, grid.wno,
-            dwno=jnp.zeros(nwno), hard_surface=config.hard_surface,
-            calc_type=0)
+        if config.use_pallas:
+            from .rt.pallas_toon import thermal_pallas
+            all_b = toon.blackbody(scene.tlevel, 1.0 / grid.wno).astype(dtype)
+            tau_top = (props.dtau_og[0] * scene.plevel[0]
+                       / (scene.plevel[1] - scene.plevel[0]))
+            flux_top = thermal_pallas(
+                all_b, props.dtau_og, props.w0_no_raman, props.cosb_og,
+                tau_top, scene.surf_reflect, scene.ubar1,
+                hard_surface=config.hard_surface)
+        else:
+            flux_top, _ = toon.thermal_1d(
+                scene.tlevel, props.dtau_og, props.w0_no_raman,
+                props.cosb_og, scene.plevel, scene.ubar1,
+                scene.surf_reflect, grid.wno, dwno=jnp.zeros(nwno),
+                hard_surface=config.hard_surface, calc_type=0)
         out['thermal'] = disco_mod.compress_thermal(
             flux_top, scene.gweight, scene.tweight)
     if config.transmission:

@@ -106,10 +106,16 @@ def blackbody_integrated(T, wave, dwave):
 def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                          dtau_og, tau_og, w0_og, cosb_og,
                          g1, g2, lamda, gama,
+                         exptrm, exptrm_positive, exptrm_minus, p_single,
                          u0, u1, cos_theta, F0PI, surf_reflect, b_top,
                          controls: ScatteringControls,
                          get_toa_intensity: bool, get_lvl_flux: bool):
-    """Single (ubar0, ubar1) facet of fluxes.py:1143-1411."""
+    """Single (ubar0, ubar1) facet of fluxes.py:1143-1411.
+
+    Angle-independent quantities (exptrm terms, the single-scattering phase
+    function at the planetary phase angle) are hoisted out of the angle
+    vmap by the caller — the reference recomputes them per disk angle
+    (fluxes.py:1144-1177, 1298-1373)."""
     sq3 = jnp.sqrt(3.0).astype(dtau.dtype)
     if controls.toon_coefficients == 1:  # eddington
         g3 = (2.0 - 3.0 * ftau_cld * cosb * u0) / 4.0
@@ -127,10 +133,6 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     x_dn = jnp.exp(-tau[1:] / u0)
     c_minus_down = a_minus * x_dn
     c_plus_down = a_plus * x_dn
-
-    exptrm = jnp.minimum(lamda * dtau, _EXP_CLIP)
-    exptrm_positive = jnp.exp(exptrm)
-    exptrm_minus = 1.0 / exptrm_positive
 
     b_surface = 0.0 + surf_reflect * u0 * F0PI * jnp.exp(-tau[-1] / u0)
 
@@ -195,37 +197,6 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
         A = ((multi_plus * c_plus_up + multi_minus * c_minus_up) * w0
              * (0.5 / PI))
 
-        # single-scattering phase function (fluxes.py:1298-1373)
-        sp = controls.single_phase
-        if sp != 1:
-            g_forward = controls.constant_forward * cosb_og
-            g_back = controls.constant_back * cosb_og
-            f = controls.frac_a + controls.frac_b * g_back ** controls.frac_c
-        if sp == 0:  # cahoy
-            HG_fwd = (1 - g_forward ** 2) / jnp.sqrt(
-                (1 + g_forward ** 2 + 2 * g_forward * cos_theta) ** 3)
-            HG_back = (1 - g_back ** 2) / jnp.sqrt(
-                (1 + g_back ** 2 + 2 * g_back * cos_theta) ** 3)
-            p_single = f * HG_fwd + (1 - f) * HG_back + gcos2
-        elif sp == 1:  # OTHG
-            p_single = (1 - cosb_og ** 2) / jnp.sqrt(
-                (1 + cosb_og ** 2 + 2 * cosb_og * cos_theta) ** 3)
-        elif sp == 2:  # TTHG
-            HG_fwd = (1 - g_forward ** 2) / jnp.sqrt(
-                (1 + g_forward ** 2 + 2 * g_forward * cos_theta) ** 3)
-            HG_back = (1 - g_back ** 2) / jnp.sqrt(
-                (1 + g_back ** 2 + 2 * g_back * cos_theta) ** 3)
-            p_single = f * HG_fwd + (1 - f) * HG_back
-        elif sp == 3:  # TTHG_ray
-            HG_fwd = (1 - g_forward ** 2) / jnp.sqrt(
-                (1 + g_forward ** 2 + 2 * g_forward * cos_theta) ** 3)
-            HG_back = (1 - g_back ** 2) / jnp.sqrt(
-                (1 + g_back ** 2 + 2 * g_back * cos_theta) ** 3)
-            p_single = (ftau_cld * (f * HG_fwd + (1 - f) * HG_back)
-                        + ftau_ray * (0.75 * (1 + cos_theta ** 2.0)))
-        else:
-            raise ValueError(f'unknown single_phase {sp}')
-
         # layer source terms of the upward recursion (fluxes.py:1381-1407)
         ssterm = ((w0_og * F0PI / (4.0 * PI)) * p_single
                   * jnp.exp(-tau_og[:-1] / u0)
@@ -274,6 +245,35 @@ def reflected_1d(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     lamda = jnp.sqrt(g1 ** 2 - g2 ** 2)
     gama = (g1 - lamda) / g2
 
+    # angle-independent hoists (the reference recomputes these per angle)
+    exptrm = jnp.minimum(lamda * dtau, _EXP_CLIP)
+    exptrm_positive = jnp.exp(exptrm)
+    exptrm_minus = 1.0 / exptrm_positive
+
+    # single-scattering phase function at the phase angle
+    # (fluxes.py:1298-1373)
+    sp = controls.single_phase
+    if sp != 1:
+        g_forward = controls.constant_forward * cosb_og
+        g_back = controls.constant_back * cosb_og
+        f = controls.frac_a + controls.frac_b * g_back ** controls.frac_c
+        HG_fwd = (1 - g_forward ** 2) / jnp.sqrt(
+            (1 + g_forward ** 2 + 2 * g_forward * cos_theta) ** 3)
+        HG_back = (1 - g_back ** 2) / jnp.sqrt(
+            (1 + g_back ** 2 + 2 * g_back * cos_theta) ** 3)
+    if sp == 0:  # cahoy
+        p_single = f * HG_fwd + (1 - f) * HG_back + gcos2
+    elif sp == 1:  # OTHG
+        p_single = (1 - cosb_og ** 2) / jnp.sqrt(
+            (1 + cosb_og ** 2 + 2 * cosb_og * cos_theta) ** 3)
+    elif sp == 2:  # TTHG
+        p_single = f * HG_fwd + (1 - f) * HG_back
+    elif sp == 3:  # TTHG_ray
+        p_single = (ftau_cld * (f * HG_fwd + (1 - f) * HG_back)
+                    + ftau_ray * (0.75 * (1 + cos_theta ** 2.0)))
+    else:
+        raise ValueError(f'unknown single_phase {sp}')
+
     ng, nt = ubar0.shape
     u0_flat = ubar0.reshape(-1)
     u1_flat = ubar1.reshape(-1)
@@ -282,6 +282,7 @@ def reflected_1d(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
         return _reflected_one_angle(
             dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
             dtau_og, tau_og, w0_og, cosb_og, g1, g2, lamda, gama,
+            exptrm, exptrm_positive, exptrm_minus, p_single,
             u0, u1, cos_theta, F0PI, surf_reflect, b_top,
             controls, get_toa_intensity, get_lvl_flux)
 

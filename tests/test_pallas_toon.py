@@ -1,0 +1,78 @@
+"""Parity of the Pallas megakernels (rt/pallas_toon.py) vs the scan path.
+
+Runs in Pallas interpret mode on CPU so CI needs no TPU; the same kernels
+compile with Mosaic on device (exercised by bench.py / __graft_entry__).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from picaso_tpu.rt.toon import (ScatteringControls, blackbody, reflected_1d,
+                                thermal_1d)
+from picaso_tpu.rt.pallas_toon import reflected_pallas, thermal_pallas
+
+
+@pytest.fixture(scope='module')
+def optics():
+    rng = np.random.default_rng(7)
+    nlayer, nwno = 20, 700   # nwno not a multiple of block_w -> pads
+    dtau_og = rng.uniform(1e-4, 2.0, (nlayer, nwno))
+    w0_og = rng.uniform(0.05, 0.95, (nlayer, nwno))
+    cosb_og = rng.uniform(0.0, 0.9, (nlayer, nwno))
+    ftau_cld = rng.uniform(0, 1, (nlayer, nwno))
+    f = cosb_og ** 2
+    w0 = w0_og * (1 - f) / (1 - w0_og * f)
+    cosb = (cosb_og - f) / (1 - f)
+    dtau = dtau_og * (1 - w0_og * f)
+    tau = np.concatenate([np.zeros((1, nwno)), np.cumsum(dtau, 0)], 0)
+    tau_og = np.concatenate([np.zeros((1, nwno)), np.cumsum(dtau_og, 0)], 0)
+    return dict(dtau=dtau, tau=tau, w0=w0, cosb=cosb, gcos2=cosb ** 2,
+                ftau_cld=ftau_cld, ftau_ray=1.0 - ftau_cld,
+                dtau_og=dtau_og, tau_og=tau_og, w0_og=w0_og,
+                cosb_og=cosb_og, nlayer=nlayer, nwno=nwno)
+
+
+@pytest.mark.parametrize('single_phase', [1, 3])
+def test_reflected_parity(optics, single_phase):
+    o = optics
+    nwno = o['nwno']
+    rng = np.random.default_rng(1)
+    ubar0 = jnp.asarray(rng.uniform(0.1, 1.0, (3, 1)))
+    ubar1 = jnp.asarray(rng.uniform(0.1, 1.0, (3, 1)))
+    surf = jnp.zeros(nwno)
+    F0PI = jnp.ones(nwno)
+    c = ScatteringControls(single_phase=single_phase)
+    args = [jnp.asarray(o[k]) for k in
+            ('dtau', 'tau', 'w0', 'cosb', 'gcos2', 'ftau_cld', 'ftau_ray',
+             'dtau_og', 'tau_og', 'w0_og', 'cosb_og')]
+    ref, _ = reflected_1d(*args, surf, ubar0, ubar1, 0.5, F0PI, c)
+    out = reflected_pallas(*args, surf, ubar0, ubar1, 0.5, F0PI, c,
+                           block_w=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize('hard_surface', [False, True])
+def test_thermal_parity(optics, hard_surface):
+    o = optics
+    nlayer, nwno = o['nlayer'], o['nwno']
+    tlevel = jnp.asarray(np.linspace(400.0, 1600.0, nlayer + 1))
+    plevel = jnp.asarray(np.logspace(-4, 2, nlayer + 1))
+    wno = jnp.asarray(np.linspace(300.0, 20000.0, nwno))
+    ubar1 = jnp.asarray(np.random.default_rng(2).uniform(0.1, 1, (3, 1)))
+    surf = jnp.full(nwno, 0.1)
+    dtau = jnp.asarray(o['dtau_og'])
+    w0 = jnp.asarray(o['w0_og'])
+    cosb = jnp.asarray(o['cosb_og'])
+
+    ref_top, _ = thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf,
+                            wno, dwno=jnp.zeros(nwno),
+                            hard_surface=hard_surface, calc_type=0)
+    all_b = blackbody(tlevel, 1.0 / wno).astype(dtau.dtype)
+    tau_top = dtau[0] * plevel[0] / (plevel[1] - plevel[0])
+    out = thermal_pallas(all_b, dtau, w0, cosb, tau_top, surf, ubar1,
+                         hard_surface=hard_surface, block_w=256,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_top),
+                               rtol=2e-5, atol=1e-8)
