@@ -19,7 +19,7 @@ import pandas as pd
 
 from .wavelength import mean_regrid
 
-__all__ = ['GridFitter', 'chi_squared']
+__all__ = ['GridFitter', 'chi_squared', 'detection_test', 'sigma']
 
 
 def chi_squared(data_y, data_e, model_y):
@@ -161,3 +161,123 @@ class GridFitter:
         w = 1.0 / d ** 2
         w /= w.sum()
         return (w[:, None] * self.spectra).sum(0)
+
+
+def sigma(lnz1, lnz2):
+    """Bayes factor -> detection significance (Trotta 2008, Table 2).
+
+    Port of analyze.py:1487-1523: solves B = -1/(e p ln p) for the
+    p-value and converts to Gaussian sigma via the complementary error
+    function.  Returns (sigma, lnB).
+    """
+    from scipy import special
+
+    lnB = lnz1 - lnz2
+    logp = np.arange(-300.0, 0.0, 0.1)[::-1]
+    P = 10.0 ** logp
+    Barr = -1.0 / (np.e * P * np.log(P))
+    sig_grid = np.arange(0.1, 100.1, 0.01)
+    p_p = special.erfc(sig_grid / np.sqrt(2.0))
+    B = np.exp(lnB)
+    pvalue = 10.0 ** np.interp(np.log10(B), np.log10(Barr), np.log10(P))
+    sig = np.interp(pvalue, p_p[::-1], sig_grid[::-1])
+    return sig, lnB
+
+
+def detection_test(wlgrid_center, y_data, e_data, model_full,
+                   model_exclude, min_wavelength, max_wavelength,
+                   molecule_baseline=None, baseline_wavelength=(),
+                   nlive=200, max_iter=4000, seed=0, verbose=False):
+    """Gaussian-feature detection significance on molecular residuals.
+
+    Port of analyze.py:1065-1285's evidence comparison: fits a Gaussian
+    (and optionally a double Gaussian when a baseline molecule window is
+    given) and a flat line to ``y_data - model_exclude`` with nested
+    sampling, and converts the evidence ratios into detection sigmas.
+    Unlike the reference (which reruns the forward model internally with
+    ``exclude_mol`` via dynesty), the with/without-molecule spectra are
+    passed in regridded to the data wavelength grid — compute them with
+    ``inputs.atmosphere(..., exclude_mol=molecule)`` + ``spectrum`` —
+    and the sampler is the framework's vectorized nested sampler.
+
+    Returns a dict with logZ_{single,double,line}, samp_* equal-weight
+    posteriors, sigma_single_v_line / lnB_single_v_line (and
+    sigma_double_v_single when applicable).
+    """
+    from .sampler import nested_sample
+
+    wl = np.asarray(wlgrid_center, float)
+    residual_data = np.asarray(y_data, float) - np.asarray(model_exclude,
+                                                           float)
+    e = np.asarray(e_data, float)
+    double_gauss = molecule_baseline is not None
+    if double_gauss and len(baseline_wavelength) == 2:
+        min_wl_add, max_wl_add = sorted(baseline_wavelength)
+    else:
+        min_wl_add, max_wl_add = min_wavelength, max_wavelength
+
+    def model_gauss(th):
+        logAmp, lam0, logsig, cst = (th[..., 0], th[..., 1], th[..., 2],
+                                     th[..., 3])
+        return (10.0 ** logAmp[..., None]
+                * np.exp(-(wl - lam0[..., None]) ** 2
+                         / (10.0 ** logsig[..., None]) ** 2)
+                + cst[..., None]) / 1e6
+
+    def loglike_gauss(th):
+        th = np.atleast_2d(th)
+        mod = model_gauss(th)
+        return -0.5 * np.sum((residual_data - mod) ** 2 / e ** 2, axis=-1)
+
+    def prior_gauss(u):
+        u = np.atleast_2d(u).copy()
+        u[..., 0] = -1 + 5.5 * u[..., 0]
+        u[..., 1] = min_wavelength + (max_wavelength
+                                      - min_wavelength) * u[..., 1]
+        u[..., 2] = -2 + 3.0 * u[..., 2]
+        u[..., 3] = -200 + 400 * u[..., 3]
+        return u
+
+    def loglike_double(th):
+        th = np.atleast_2d(th)
+        mod = model_gauss(th[..., :4]) + model_gauss(th[..., 4:])
+        return -0.5 * np.sum((residual_data - mod) ** 2 / e ** 2, axis=-1)
+
+    def prior_double(u):
+        u = np.atleast_2d(u).copy()
+        out1 = prior_gauss(u[..., :4])
+        out2 = prior_gauss(u[..., 4:])
+        out2[..., 1] = min_wl_add + (max_wl_add - min_wl_add) \
+            * (out2[..., 1] - min_wavelength) / max(
+                max_wavelength - min_wavelength, 1e-30)
+        return np.concatenate([out1, out2], axis=-1)
+
+    def loglike_line(th):
+        th = np.atleast_2d(th)
+        mod = th[..., 0:1] / 1e6
+        return -0.5 * np.sum((residual_data - mod) ** 2 / e ** 2, axis=-1)
+
+    def prior_line(u):
+        u = np.atleast_2d(u).copy()
+        u[..., 0] = -200 + 2000 * u[..., 0]
+        return u
+
+    results = {'residual_data': residual_data,
+               'residual_model': np.asarray(model_full, float)
+               - np.asarray(model_exclude, float)}
+    runs = [('single', loglike_gauss, prior_gauss, 4),
+            ('line', loglike_line, prior_line, 1)]
+    if double_gauss:
+        runs.insert(0, ('double', loglike_double, prior_double, 8))
+    for name, ll, pt, ndim in runs:
+        res = nested_sample(ll, pt, ndim, nlive=nlive, max_iter=max_iter,
+                            seed=seed, verbose=verbose)
+        results[f'logZ_{name}'] = float(res.logz)
+        results[f'samp_{name}'] = np.asarray(res.samples_equal)
+    results['sigma_single_v_line'], results['lnB_single_v_line'] = sigma(
+        results['logZ_single'], results['logZ_line'])
+    if double_gauss:
+        (results['sigma_double_v_single'],
+         results['lnB_double_v_single']) = sigma(results['logZ_double'],
+                                                 results['logZ_single'])
+    return results

@@ -572,7 +572,22 @@ def run_climate(case, opacityclass, save_all_profiles=False,
         rfacv = case.inputs['climate']['rfacv']
 
     nlevel = len(pressure)
-    tidal = core.tidal_flux(teff, nlevel)
+    if case.inputs['climate'].get('inject_energy'):
+        # energy injection (justdoit.py:4953-4980 + fluxes.py:3671-3751)
+        grav = case.inputs['planet']['gravity']  # cm/s^2
+        pr = np.asarray(pressure, float)
+        colden = np.diff(pr) * 1e6 / grav        # g/cm^2 per layer
+        cl = case.inputs['climate']
+        tidal = core.tidal_flux(
+            teff, nlevel, pressure=pr, colden=colden,
+            injection=dict(
+                total_energy=cl.get('total_energy_injection', 0.0),
+                press_max=cl.get('press_max_energy', 1.0),
+                hratio=cl.get('injection_scaleheight', 1.0),
+                inject_beam=cl.get('inject_beam', False),
+                beam_profile=cl.get('beam_profile', 0.0)))
+    else:
+        tidal = core.tidal_flux(teff, nlevel)
 
     state = _ClimateState(case, opacityclass, tidal, rfaci, rfacv, tmin,
                           tmax, moist=case.inputs['climate'].get(

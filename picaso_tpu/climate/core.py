@@ -34,7 +34,8 @@ from .. import disco as disco_mod
 from .adiabat import AdiabatGrid, did_grad_cp
 
 __all__ = ['ClimateGeometry', 'ZoneMaps', 'zone_maps', 'reconstruct_profile',
-           'climate_fluxes', 'thermal_fluxes', 'tidal_flux', 't_start']
+           'climate_fluxes', 'thermal_fluxes', 'tidal_flux', 'chapman',
+           't_start']
 
 SIGMA_SB = 0.56687e-4  # value baked into climate.py:5130
 
@@ -53,9 +54,44 @@ def make_climate_geometry() -> ClimateGeometry:
                            tweight=jnp.asarray(geom.tweight))
 
 
-def tidal_flux(teff, nlevel):
-    """-sigma Teff^4 energy sink (fluxes.py:3671-3729, no injection)."""
-    return np.zeros(nlevel) - SIGMA_SB * teff ** 4
+def chapman(pressure, pm, hratio):
+    """Chapman deposition shape exp(1 + h·ln(p/pm) - (p/pm)^h).
+
+    Port of fluxes.py:3732-3751; peaks at p = pm, width set by the
+    scale-height ratio ``hratio``.
+    """
+    x = np.asarray(pressure, float) / pm
+    return np.exp(1.0 + hratio * np.log(x) - x ** hratio)
+
+
+def tidal_flux(teff, nlevel, pressure=None, colden=None, injection=None):
+    """Level energy-balance sink/source profile [erg/cm^2/s].
+
+    Port of fluxes.py:3671-3729: the -sigma Teff^4 internal-heat sink
+    plus optional energy injection, either a Chapman-function deposition
+    (``injection['total_energy']`` erg/cm^2/s peaking at
+    ``injection['press_max']`` bar with scale-height ratio
+    ``injection['hratio']``) or a user beam profile
+    (``injection['beam_profile']`` per level, used when
+    ``injection['inject_beam']``).  The cumulative deposition is
+    normalized so exactly total_energy crosses the column.
+    """
+    tide = -SIGMA_SB * teff ** 4
+    if not injection:
+        return np.zeros(nlevel) + tide
+    incr = np.zeros(nlevel)
+    if injection.get('inject_beam'):
+        beam = np.asarray(injection['beam_profile'], float)
+        incr[2:] = -beam[2:nlevel]
+        e_tot = float(np.sum(beam))
+    else:
+        incr[2:] = -(chapman(np.asarray(pressure)[2:],
+                             injection['press_max'], injection['hratio'])
+                     * np.asarray(colden)[1:nlevel - 1])
+        e_tot = float(injection['total_energy'])
+    cum = np.cumsum(incr)
+    t_tot = cum[-1]
+    return cum * e_tot / t_tot + tide - cum[-1] * e_tot / t_tot
 
 
 # ---------------------------------------------------------------------------

@@ -300,6 +300,12 @@ class inputs:
         elif wno is not None and flux is not None:
             wno_star = np.asarray(wno, dtype=float)
             flux_star = np.asarray(flux, dtype=float)
+        elif database in ('phoenix', 'ck04models'):
+            # CDBS grid trees read with the bundled FITS parser
+            # (stellar.py; replaces the stsynphot Icat path)
+            from .stellar import get_stellar_spectrum
+            wno_star, flux_star = get_stellar_spectrum(
+                database, temp, metal, logg)
         elif temp is not None:
             # blackbody fallback: pi * B_nu~ (erg/cm^2/s/cm^-1)
             wno_star = np.linspace(
@@ -699,6 +705,26 @@ class inputs:
     def inputs_climate(self, **kw):
         from .climate.api import inputs_climate as _ic
         return _ic(self, **kw)
+
+    def energy_injection(self, inject_energy=False,
+                         total_energy_injection=0, press_max_energy=1,
+                         injection_scalehight=1, inject_beam=False,
+                         beam_profile=0):
+        """Energy deposition for climate runs (justdoit.py:4953-4980).
+
+        Chapman-function deposition of ``total_energy_injection``
+        [erg/cm^2/s] peaking at ``press_max_energy`` [bar], or a
+        numerical ``beam_profile`` when ``inject_beam``; consumed by
+        climate.core.tidal_flux.
+        """
+        self.inputs['climate']['inject_energy'] = inject_energy
+        self.inputs['climate']['total_energy_injection'] = \
+            total_energy_injection
+        self.inputs['climate']['press_max_energy'] = press_max_energy
+        self.inputs['climate']['injection_scaleheight'] = \
+            injection_scalehight
+        self.inputs['climate']['inject_beam'] = inject_beam
+        self.inputs['climate']['beam_profile'] = beam_profile
 
     def climate(self, opacityclass, **kw):
         from .climate.api import run_climate
@@ -1543,3 +1569,71 @@ def load_planet(name, opacity, **kwargs):
               semi_major=float(row['pl_orbsmax']),
               semi_major_unit=u.Unit('au'))
     return case
+
+
+def convert_flux_units(xgrid, flux, to_f_unit, xgrid_unit='cm^(-1)',
+                       f_unit='erg*cm^(-3)*s^(-1)'):
+    """Convert spectral flux density between common units.
+
+    Self-contained port of justdoit.py:5660-5688 (the reference goes
+    through synphot's SourceSpectrum; here the F_lambda/F_nu algebra is
+    done directly).  Defaults are PICASO's native per-cm flux on a
+    wavenumber grid.  Like the reference, the output is ordered by
+    increasing wavelength (flipped when the input was an increasing
+    wavenumber grid).
+
+    Supported flux units: 'erg*cm^(-3)*s^(-1)' (per cm), 'FLAM'
+    (erg/cm^2/s/angstrom), 'FNU' (erg/cm^2/s/Hz), 'Jy', 'mJy',
+    'W/(m2 um)'.
+    """
+    from .constants import C_LIGHT
+    xgrid = np.asarray(xgrid, float)
+    flux = np.asarray(flux, float)
+    if xgrid_unit in ('cm^(-1)', '1/cm', 'cm-1', '1 / cm'):
+        lam_cm = 1.0 / xgrid
+    else:
+        lam_cm = xgrid * u.Unit(xgrid_unit).cgs_factor
+
+    def norm(name):
+        key = str(name).replace(' ', '').lower()
+        aliases = {
+            'erg*cm^(-3)*s^(-1)': 'per_cm', 'erg/(cm3s)': 'per_cm',
+            'erg/(cm2scm)': 'per_cm',
+            'flam': 'flam', 'erg/(cm2sangstrom)': 'flam',
+            'erg/(cm2saa)': 'flam',
+            'fnu': 'fnu', 'erg/(cm2shz)': 'fnu',
+            'jy': 'jy', 'mjy': 'mjy',
+            'w/(m2um)': 'w_m2_um', 'w/(m2micron)': 'w_m2_um',
+        }
+        if key not in aliases:
+            raise ValueError(f'unsupported flux unit {name!r}; supported: '
+                             f'{sorted(set(aliases))}')
+        return aliases[key]
+
+    # to F_lambda in erg/cm^2/s/cm
+    kind = norm(f_unit)
+    if kind == 'per_cm':
+        f_lam = flux
+    elif kind == 'flam':
+        f_lam = flux * 1e8
+    elif kind in ('fnu', 'jy', 'mjy'):
+        f_nu = flux * {'fnu': 1.0, 'jy': 1e-23, 'mjy': 1e-26}[kind]
+        f_lam = f_nu * C_LIGHT / lam_cm ** 2
+    else:  # w_m2_um
+        f_lam = flux / 1e-7
+
+    kind = norm(to_f_unit)
+    if kind == 'per_cm':
+        out = f_lam
+    elif kind == 'flam':
+        out = f_lam * 1e-8
+    elif kind in ('fnu', 'jy', 'mjy'):
+        f_nu = f_lam * lam_cm ** 2 / C_LIGHT
+        out = f_nu / {'fnu': 1.0, 'jy': 1e-23, 'mjy': 1e-26}[kind]
+    else:  # w_m2_um
+        out = f_lam * 1e-7
+
+    if xgrid_unit in ('cm^(-1)', '1/cm', 'cm-1', '1 / cm') \
+            and xgrid[1] > xgrid[0]:
+        out = out[::-1]
+    return out

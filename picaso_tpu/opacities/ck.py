@@ -116,11 +116,15 @@ def _load_continuum(continuum_db, wno, dtype=np.float32):
 
 def load_ck_db(ck_db, method='preweighted', continuum_db=None,
                dtype=np.float32, **kwargs):
-    """Load a premixed CK hdf5 file (reference format, get_ck_tables)."""
+    """Load a premixed CK table (hdf5 reference format, or the legacy
+    1460-grid ASCII directory — optics.py:768-1058)."""
     if method != 'preweighted':
         raise NotImplementedError(
             'resortrebin (per-gas on-the-fly CK mixing) lands with the '
             'disequilibrium-chemistry milestone; use preweighted')
+    if (os.path.isdir(ck_db)
+            or os.path.basename(str(ck_db)) == 'ascii_data'):
+        return _load_legacy_ck(ck_db, continuum_db, dtype)
     import h5py
     with h5py.File(ck_db, 'r') as f:
         molecules = [x.decode('utf-8') for x in f['ck_molecules'][:]]
@@ -156,6 +160,41 @@ def load_ck_db(ck_db, method='preweighted', continuum_db=None,
         cia_temps=jnp.asarray(cia_temps, dtype),
         continuum_molecules=cont_mols)
     return CKTable(arrays, molecules, abunds, gauss_pts, temps, pressures)
+
+
+def _load_legacy_ck(ck_db, continuum_db, dtype):
+    """CKTable from a legacy 1460-grid ASCII table (opacities/legacy.py)."""
+    from .legacy import load_legacy_ck_1460
+
+    leg = load_legacy_ck_1460(ck_db)
+    wno = np.asarray(leg['wno'], float)
+    kappa_ln = np.asarray(leg['kappa'], float) * np.log(10.0)
+    pressures_flat = leg['pressures']
+    temps = np.asarray(leg['temps'], float)
+    p_pos = np.unique(pressures_flat[pressures_flat > 0])
+    keep = pressures_flat > 0
+    abunds = pd.DataFrame(
+        np.asarray(leg['abunds'])[keep, :len(leg['molecules'])],
+        columns=leg['molecules'])
+    abunds['pressure'] = leg['pressure_labels']
+    abunds['temperature'] = leg['temperature_labels']
+    nc_p = np.asarray(leg['nc_p'], int)
+
+    if continuum_db is None:
+        continuum_db = refdata_path('opacities', 'ck_cx_cont_opacities.db')
+    cont, cia_temps, cont_mols = _load_continuum(continuum_db, wno, dtype)
+    arrays = CKArrays(
+        wno=jnp.asarray(wno), delta_wno=jnp.asarray(leg['delta_wno']),
+        gauss_wts=jnp.asarray(leg['gauss_wts'], dtype),
+        ln_kappa=jnp.asarray(kappa_ln, dtype),
+        p_log_grid=jnp.asarray(np.log10(p_pos), dtype),
+        t_inv_grid=jnp.asarray(1.0 / temps, dtype),
+        nc_p=jnp.asarray(nc_p, jnp.int32),
+        cont_opa=jnp.asarray(cont),
+        cia_temps=jnp.asarray(cia_temps, dtype),
+        continuum_molecules=cont_mols)
+    return CKTable(arrays, leg['molecules'], abunds, leg['gauss_pts'],
+                   temps, p_pos)
 
 
 def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',

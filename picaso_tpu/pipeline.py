@@ -109,12 +109,26 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
     dtype = scene.cld_opd.dtype
 
     # ---- gas optics (HBM gather + fused arithmetic) ----
-    kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
-    kappa = kappa[jnp.asarray(config.mol_indices)]
     mix_cols = scene.mix[jnp.asarray([dict(config.mix_index)[grid.molecules[i]]
                                       for i in config.mol_indices])]
-    taugas = assemble.molecular_tau(kappa, mix_cols, scene.colden,
-                                    scene.mmw_layer)
+    if config.use_pallas:
+        # gather-fused kernel: reads only the 4 neighbor rows per layer
+        # and writes taugas directly (opacities/pallas_interp.py)
+        from .opacities.db import _find_indices
+        from .opacities.pallas_interp import interp_tau_pallas
+        t_w, p_w, idx = _find_indices(grid.pt, scene.tlayer,
+                                      scene.player / PCONV)
+        colw = scene.colden / scene.mmw_layer
+        mixcol = jnp.zeros((len(grid.molecules), nlayer),
+                           scene.mix.dtype)
+        for j, i in enumerate(config.mol_indices):
+            mixcol = mixcol.at[i].set(mix_cols[j] * colw)
+        taugas = interp_tau_pallas(grid.log_kappa, idx, t_w, p_w, mixcol)
+    else:
+        kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
+        kappa = kappa[jnp.asarray(config.mol_indices)]
+        taugas = assemble.molecular_tau(kappa, mix_cols, scene.colden,
+                                        scene.mmw_layer)
     if config.continuum_specs:
         cont = nearest_continuum(grid, scene.tlayer)
         # layer gravity recovered from the column-density definition

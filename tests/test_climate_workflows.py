@@ -49,3 +49,54 @@ def test_moist_climate_runs():
     opa, case = _setup_case(teff=350, moist=True)
     out = case.climate(opa, verbose=False)
     assert np.isfinite(out['temperature']).all()
+
+
+def test_energy_injection_tidal():
+    """Chapman deposition conserves total injected energy (fluxes.py:3671)."""
+    from picaso_tpu.climate.core import chapman, tidal_flux
+
+    nlevel = 40
+    pressure = np.logspace(-6, 2, nlevel)
+    colden = np.diff(pressure) * 1e6 / 1e4
+    teff = 500.0
+    base = tidal_flux(teff, nlevel)
+    assert np.allclose(base, base[0]) and base[0] < 0
+
+    inj = dict(total_energy=1e5, press_max=0.1, hratio=1.0,
+               inject_beam=False)
+    t = tidal_flux(teff, nlevel, pressure=pressure, colden=colden,
+                   injection=inj)
+    # TOA sink deepens by the injected luminosity (everything deposited
+    # below must escape through the top); the bottom level returns to
+    # the pure internal-heat sink
+    assert np.isclose(t[0], base[0] - 1e5)
+    assert np.isclose(t[-1], base[0])
+    # cumulative deposition is monotonic toward depth
+    assert np.all(np.diff(t) >= -1e-9)
+    # chapman peaks at p = pm
+    p = np.logspace(-3, 1, 200)
+    c = chapman(p, 0.1, 1.0)
+    assert abs(p[np.argmax(c)] - 0.1) / 0.1 < 0.1
+
+    beam = np.zeros(nlevel)
+    beam[10:20] = 3.0
+    tb = tidal_flux(teff, nlevel, injection=dict(
+        inject_beam=True, beam_profile=beam))
+    assert np.isclose(base[0] - tb[0], beam.sum())
+
+
+def test_convert_flux_units_roundtrip():
+    from picaso_tpu.justdoit import convert_flux_units
+    from picaso_tpu.constants import C_LIGHT
+
+    wno = np.linspace(2000.0, 10000.0, 30)
+    f = np.linspace(1.0, 5.0, 30) * 1e4   # erg/cm2/s/cm
+    jy = convert_flux_units(wno, f, 'Jy')
+    lam = 1.0 / wno
+    expect = (f * lam ** 2 / C_LIGHT / 1e-23)[::-1]
+    np.testing.assert_allclose(jy, expect, rtol=1e-12)
+    back = convert_flux_units(1e4 * lam[::-1], jy, 'erg*cm^(-3)*s^(-1)',
+                              xgrid_unit='um', f_unit='Jy')
+    np.testing.assert_allclose(back, f[::-1], rtol=1e-12)
+    flam = convert_flux_units(wno, f, 'FLAM')
+    np.testing.assert_allclose(flam, (f * 1e-8)[::-1], rtol=1e-12)

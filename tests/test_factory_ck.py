@@ -120,3 +120,40 @@ def test_ck_thermal_matches_binned_monochromatic(mono_db):
     # k-distribution vs line-by-line: agree to ~10% median, 35% worst-bin
     assert abs(np.median(ratio) - 1) < 0.1, np.median(ratio)
     assert np.percentile(np.abs(ratio - 1), 95) < 0.35
+
+
+def test_legacy_ascii_roundtrip(tmp_path):
+    """Token-stream legacy 1460 parser inverts the layout writer."""
+    from picaso_tpu.opacities import legacy
+
+    rng = np.random.default_rng(11)
+    max_pc, max_tc, nwno, ngauss = 4, 5, 10, 8
+    mols = [f'M{i}' for i in range(24)]
+    npt = max_pc * max_tc
+    abunds = rng.uniform(1e-8, 1e-2, (npt, 7))
+    wno = np.linspace(100.0, 1000.0, nwno)
+    dwno = np.full(nwno, 90.0)
+    nc_p = np.full(max_tc, max_pc)
+    press = np.repeat(np.logspace(-3, 2, max_pc)[None, :], max_tc,
+                      0).ravel()
+    temps = np.linspace(100.0, 3000.0, max_tc)
+    gpts = np.linspace(0.1, 0.9, ngauss)
+    gwts = np.full(ngauss, 1.0 / ngauss)
+    kappa = rng.uniform(-8.0, 2.0, (max_pc, max_tc, nwno, ngauss))
+
+    f = tmp_path / 'ascii_data'
+    legacy.write_legacy_ascii(str(f), mols, abunds, wno, dwno, nc_p,
+                              press, temps, gpts, gwts, kappa)
+    out = legacy.load_legacy_ck_1460(str(f), max_tc=max_tc, max_pc=max_pc,
+                                     max_windows=nwno + 4, nspecies=24)
+    assert out['molecules'] == mols
+    np.testing.assert_allclose(out['wno'], wno)
+    np.testing.assert_allclose(out['delta_wno'], dwno)
+    np.testing.assert_allclose(out['pressures'], press, rtol=1e-12)
+    np.testing.assert_allclose(out['temps'], temps)
+    np.testing.assert_allclose(out['gauss_pts'], gpts)
+    np.testing.assert_allclose(out['gauss_wts'], gwts)
+    np.testing.assert_allclose(out['kappa'], kappa)
+    np.testing.assert_allclose(out['abunds'][:, :7], abunds)
+    np.testing.assert_allclose(out['pressure_labels'],
+                               press[press > 0])

@@ -76,3 +76,32 @@ def test_thermal_parity(optics, hard_surface):
                          interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_top),
                                rtol=2e-5, atol=1e-8)
+
+
+def test_interp_tau_parity():
+    """Gather-fused interp kernel == interp_molecular + molecular_tau."""
+    from picaso_tpu.opacities.db import _find_indices, interp_molecular
+    from picaso_tpu.opacities import assemble
+    from picaso_tpu.opacities.factory import synthetic_opacity_grid
+    from picaso_tpu.opacities.pallas_interp import interp_tau_pallas
+
+    nwno, nlayer = 700, 12
+    wno = np.linspace(1000.0, 15000.0, nwno)
+    grid = synthetic_opacity_grid(wno, molecules=('H2O', 'CH4', 'CO'),
+                                  ntemp=6, npress=5)
+    rng = np.random.default_rng(3)
+    tlayer = jnp.asarray(rng.uniform(200.0, 2400.0, nlayer))
+    player = jnp.asarray(np.logspace(-5, 2, nlayer))
+    colden = jnp.asarray(rng.uniform(1.0, 100.0, nlayer))
+    mmw = jnp.asarray(rng.uniform(2.2, 2.4, nlayer))
+    mix = jnp.asarray(rng.uniform(1e-6, 1e-3, (3, nlayer)))
+
+    kappa = interp_molecular(grid, tlayer, player)
+    ref = assemble.molecular_tau(kappa, mix, colden, mmw)
+
+    t_w, p_w, idx = _find_indices(grid.pt, tlayer, player)
+    mixcol = mix * colden[None, :] / mmw[None, :]
+    out = interp_tau_pallas(grid.log_kappa, idx, t_w, p_w, mixcol,
+                            block_w=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5)

@@ -170,3 +170,24 @@ def test_create_template(tmp_path):
     text = open(path).read()
     assert 'driver.run' in text
     compile(text, path, 'exec')
+
+
+def test_detection_test_sigma():
+    """Gaussian vs line evidence comparison detects an injected feature."""
+    from picaso_tpu.analyze import detection_test, sigma
+
+    rng = np.random.default_rng(5)
+    wl = np.linspace(1.0, 2.0, 60)
+    e = np.full(60, 5.0)  # ppm-ish
+    feature = 80.0 * np.exp(-(wl - 1.4) ** 2 / 0.05 ** 2)
+    model_exclude = 1000.0 + 0 * wl
+    model_full = model_exclude + feature / 1e6
+    y = model_exclude + feature / 1e6 + rng.normal(0, e / 1e6 * 0)
+    # residuals in the same 1e-6 scaling the reference uses
+    res = detection_test(wl, y * 0 + feature / 1e6, e / 1e6,
+                         model_full - model_exclude, wl * 0,
+                         1.0, 2.0, nlive=80, max_iter=1200, seed=1)
+    assert res['logZ_single'] > res['logZ_line']
+    assert res['sigma_single_v_line'] > 3.0
+    s, lnb = sigma(10.0, 0.0)
+    assert s > 3.5 and abs(lnb - 10.0) < 1e-12
