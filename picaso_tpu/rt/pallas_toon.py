@@ -47,7 +47,7 @@ def _solve_two_stream_scratch(nlayer, c_plus_up, c_minus_up, c_plus_down,
     scratch row n, the (odd, even) pair eliminated per fori_loop step.
     """
     (ao_s, bo_s, co_s, do_s, ae_s, be_s, ce_s, de_s,
-     aso_s, dso_s, ase_s, dse_s, xo_s, xe_s, _, _) = scr
+     aso_s, dso_s, ase_s, dse_s, xo_s, xe_s) = scr
     zrow = jnp.zeros_like(gama[:1])
     ao_s[...] = jnp.concatenate([zrow, 2.0 * (1.0 - gama[:-1] ** 2)], 0)
     bo_s[...] = jnp.concatenate(
@@ -142,7 +142,6 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
     surf_reflect = sr_ref[...]   # [1, bw]
     F0PI = f0pi_ref[...]         # [1, bw]
     nlayer = dtau.shape[0]
-    tr_s, sc_s = scr[14], scr[15]
 
     sq3 = jnp.sqrt(3.0).astype(dtau.dtype)
     if controls.toon_coefficients == 1:
@@ -188,9 +187,17 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
         p_single = (ftau_cld * (f * HG_fwd + (1 - f) * HG_back)
                     + ftau_ray * (0.75 * (1 + cos_theta * cos_theta)))
 
+    # The disk angles are independent, so the three layer recursions run
+    # ONCE over angle-stacked scratch [nlayer, nang*bw] — nang x fewer
+    # loop iterations and nang x wider VPU vectors than a per-angle loop.
+    (ao_s, bo_s, co_s, do_s, ae_s, be_s, ce_s, de_s,
+     aso_s, dso_s, ase_s, dse_s, xo_s, xe_s, tr_s, sc_s) = scr
+    bw = dtau.shape[1]
+    carries_as, carries_ds = [], []
+    cpd_last, cpu_all, cmu_all = [], [], []
     for ia in range(nang):
         u0 = u0_ref[ia]
-        u1 = u1_ref[ia]
+        sl = slice(ia * bw, (ia + 1) * bw)
         if controls.toon_coefficients == 1:
             g3 = (2.0 - 3.0 * ftau_cld * cosb * u0) / 4.0
         else:
@@ -206,16 +213,105 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
         c_minus_down = a_minus * x_dn
         c_plus_down = a_plus * x_dn
         b_surface = surf_reflect * u0 * F0PI * jnp.exp(-tau[-1:] / u0)
-        b_top_row = jnp.full_like(c_minus_up[:1], b_top)
+        cpu_all.append(c_plus_up)
+        cmu_all.append(c_minus_up)
+        cpd_last.append(c_plus_down[-1:])
 
-        positive, negative = _solve_two_stream_scratch(
-            nlayer, c_plus_up, c_minus_up, c_plus_down, c_minus_down,
-            b_top_row, b_surface, surf_reflect, gama, e1, e2, e3, e4, scr)
+        # interleaved coefficients (tridiag.setup_tri_diag) into columns
+        zrow = jnp.zeros_like(dtau[:1])
+        ao_s[:, sl] = jnp.concatenate(
+            [zrow, 2.0 * (1.0 - gama[:-1] ** 2)], 0)
+        bo_s[:, sl] = jnp.concatenate(
+            [gama[:1] + 1.0, (e1[:-1] - e3[:-1]) * (gama[1:] + 1.0)], 0)
+        co_s[:, sl] = jnp.concatenate(
+            [gama[:1] - 1.0, (e1[:-1] + e3[:-1]) * (gama[1:] - 1.0)], 0)
+        do_s[:, sl] = jnp.concatenate([
+            b_top - c_minus_up[:1],
+            e3[:-1] * (c_plus_up[1:] - c_plus_down[:-1])
+            + e1[:-1] * (c_minus_down[:-1] - c_minus_up[1:])], 0)
+        A_even_l = e1[-1:] - surf_reflect * e3[-1:]
+        B_even_l = e2[-1:] - surf_reflect * e4[-1:]
+        D_even_l = (b_surface - c_plus_down[-1:]
+                    + surf_reflect * c_minus_down[-1:])
+        ae_s[:, sl] = jnp.concatenate([
+            (e1[:-1] + e3[:-1]) * (gama[1:] - 1.0), A_even_l], 0)
+        be_s[:, sl] = jnp.concatenate([
+            (e2[:-1] + e4[:-1]) * (gama[1:] - 1.0), B_even_l], 0)
+        ce_s[:, sl] = jnp.concatenate(
+            [2.0 * (1.0 - gama[1:] ** 2), zrow], 0)
+        de_s[:, sl] = jnp.concatenate([
+            (gama[1:] - 1.0) * (c_plus_up[1:] - c_plus_down[:-1])
+            + (1.0 - gama[1:]) * (c_minus_down[:-1] - c_minus_up[1:]),
+            D_even_l], 0)
+
+        # bottom boundary pair eliminated from values (reverse Thomas
+        # start, same arithmetic as tridiag.tridiag_solve)
+        as_last = A_even_l / B_even_l
+        ds_last = D_even_l / B_even_l
+        B_odd_l = (e1[-2:-1] - e3[-2:-1]) * (gama[-1:] + 1.0)
+        C_odd_l = (e1[-2:-1] + e3[-2:-1]) * (gama[-1:] - 1.0)
+        A_odd_l = 2.0 * (1.0 - gama[-2:-1] ** 2)
+        D_odd_l = (e3[-2:-1] * (c_plus_up[-1:] - c_plus_down[-2:-1])
+                   + e1[-2:-1] * (c_minus_down[-2:-1] - c_minus_up[-1:]))
+        xo_l = 1.0 / (B_odd_l - C_odd_l * as_last)
+        as_ol = A_odd_l * xo_l
+        ds_ol = (D_odd_l - C_odd_l * ds_last) * xo_l
+        aso_s[nlayer - 1:, sl] = as_ol
+        dso_s[nlayer - 1:, sl] = ds_ol
+        ase_s[nlayer - 1:, sl] = as_last
+        dse_s[nlayer - 1:, sl] = ds_last
+        carries_as.append(as_ol)
+        carries_ds.append(ds_ol)
+
+    def back(i, carry):
+        as_n, ds_n = carry
+        sl = pl.ds(nlayer - 2 - i, 1)
+        xe_ = 1.0 / (be_s[sl] - ce_s[sl] * as_n)
+        as_e = ae_s[sl] * xe_
+        ds_e = (de_s[sl] - ce_s[sl] * ds_n) * xe_
+        xo_ = 1.0 / (bo_s[sl] - co_s[sl] * as_e)
+        as_o = ao_s[sl] * xo_
+        ds_o = (do_s[sl] - co_s[sl] * ds_e) * xo_
+        aso_s[sl] = as_o
+        dso_s[sl] = ds_o
+        ase_s[sl] = as_e
+        dse_s[sl] = ds_e
+        return (as_o, ds_o)
+
+    jax.lax.fori_loop(0, nlayer - 1, back,
+                      (jnp.concatenate(carries_as, 1),
+                       jnp.concatenate(carries_ds, 1)))
+
+    x0 = dso_s[0:1]
+    xe0 = dse_s[0:1] - ase_s[0:1] * x0
+    xo_s[0:1] = x0
+    xe_s[0:1] = xe0
+
+    def fwd(k, x_prev):
+        sl = pl.ds(k, 1)
+        x_o = dso_s[sl] - aso_s[sl] * x_prev
+        x_e = dse_s[sl] - ase_s[sl] * x_o
+        xo_s[sl] = x_o
+        xe_s[sl] = x_e
+        return x_e
+
+    jax.lax.fori_loop(1, nlayer, fwd, xe0)
+    Xo = xo_s[...]
+    Xe = xe_s[...]
+
+    xint_bottoms = []
+    for ia in range(nang):
+        u0 = u0_ref[ia]
+        u1 = u1_ref[ia]
+        sl = slice(ia * bw, (ia + 1) * bw)
+        positive = Xo[:, sl] + Xe[:, sl]
+        negative = Xo[:, sl] - Xe[:, sl]
+        c_plus_up, c_minus_up = cpu_all[ia], cmu_all[ia]
 
         flux_zero = (positive[-1:] * exptrm_positive[-1:]
                      + gama[-1:] * negative[-1:] * exptrm_minus[-1:]
-                     + c_plus_down[-1:])
-        xint_bottom = flux_zero / np.pi
+                     + cpd_last[ia])
+        xint_bottoms.append(flux_zero / np.pi)
 
         if controls.multi_phase == 0:
             ubar2 = 0.767
@@ -244,15 +340,17 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
                   / (lamda * u1 - 1.0)
                   + H * (1.0 - jnp.exp(-exptrm - dtau / u1))
                   / (lamda * u1 + 1.0))
-        sc_s[...] = ssterm + msterm
-        tr_s[...] = jnp.exp(-dtau / u1)
+        sc_s[:, sl] = ssterm + msterm
+        tr_s[:, sl] = jnp.exp(-dtau / u1)
 
-        def ascend(i, x_below):
-            sl = pl.ds(nlayer - 1 - i, 1)
-            return x_below * tr_s[sl] + sc_s[sl]
+    def ascend(i, x_below):
+        sl = pl.ds(nlayer - 1 - i, 1)
+        return x_below * tr_s[sl] + sc_s[sl]
 
-        xint_top = jax.lax.fori_loop(0, nlayer, ascend, xint_bottom)
-        out_ref[ia:ia + 1, :] = xint_top
+    xint_top = jax.lax.fori_loop(0, nlayer, ascend,
+                                 jnp.concatenate(xint_bottoms, 1))
+    for ia in range(nang):
+        out_ref[ia:ia + 1, :] = xint_top[:, ia * bw:(ia + 1) * bw]
 
 
 @partial(jax.jit, static_argnames=('controls', 'b_top', 'block_w',
@@ -261,31 +359,19 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                      dtau_og, tau_og, w0_og, cosb_og, surf_reflect,
                      ubar0, ubar1, cos_theta, F0PI,
                      controls: ScatteringControls = ScatteringControls(),
-                     b_top: float = 0.0, block_w: int = 512,
+                     b_top: float = 0.0, block_w: int = 256,
                      interpret: bool = False):
     """TOA reflected intensity [ng, nt, nwno] — Pallas fast path.
 
     Same contract as toon.reflected_1d(get_toa_intensity=True,
-    get_lvl_flux=False).  The wavelength axis is padded on-device to a
-    multiple of ``block_w`` (edge padding keeps the padded columns
-    numerically benign) and the result is sliced back.
+    get_lvl_flux=False).
     """
     ng, nt = ubar0.shape
     nang = ng * nt
     nlayer, nwno = dtau.shape
-    pad = (-nwno) % block_w
-    if pad:
-        def padw(x):
-            return jnp.pad(x, ((0, 0), (0, pad)), mode='edge')
-        dtau, w0, cosb, gcos2, ftau_cld, ftau_ray, dtau_og, w0_og, \
-            cosb_og = (padw(x) for x in (dtau, w0, cosb, gcos2, ftau_cld,
-                                         ftau_ray, dtau_og, w0_og, cosb_og))
-        tau = padw(tau)
-        tau_og = padw(tau_og)
-        surf_reflect = jnp.pad(surf_reflect, (0, pad), mode='edge')
-        F0PI = jnp.pad(F0PI, (0, pad), mode='edge')
-    nw = nwno + pad
-    nblocks = nw // block_w
+    # Mosaic masks the partial final block itself; garbage lanes only
+    # contaminate their own (discarded) columns, so no host-side padding
+    nblocks = -(-nwno // block_w)
 
     u0 = ubar0.reshape(-1).astype(dtau.dtype)
     u1 = ubar1.reshape(-1).astype(dtau.dtype)
@@ -295,7 +381,9 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     level_spec = pl.BlockSpec((nlayer + 1, block_w), lambda i: (0, i))
     row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    scratch = pltpu.VMEM((nlayer, block_w), dtau.dtype)
+    # angle-stacked scratch: the layer recursions sweep all disk angles
+    # in one fori_loop over [nlayer, nang*block_w] rows
+    scratch = pltpu.VMEM((nlayer, nang * block_w), dtau.dtype)
 
     kernel = partial(_reflected_kernel, controls=controls, nang=nang,
                      b_top=float(b_top))
@@ -307,12 +395,12 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   layer_spec, layer_spec, level_spec, layer_spec,
                   layer_spec, row_spec, row_spec],
         out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((nang, nw), dtau.dtype),
+        out_shape=jax.ShapeDtypeStruct((nang, nwno), dtau.dtype),
         scratch_shapes=[scratch] * _N_SCRATCH,
         interpret=interpret,
     )(u0, u1, ct, dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray, dtau_og,
       tau_og, w0_og, cosb_og, surf_reflect[None, :], F0PI[None, :])
-    return out[:, :nwno].reshape(ng, nt, nwno)
+    return out.reshape(ng, nt, nwno)
 
 
 # ---------------------------------------------------------------------------
@@ -328,9 +416,12 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
     tau_top = tautop_ref[...]    # [1, bw]
     surf_reflect = sr_ref[...]   # [1, bw]
     nlayer = dtau.shape[0]
+    bw = dtau.shape[1]
     mu1 = 0.5
     PI = np.pi
-    (tfull_s, tmid_s, sfull_s, smid_s) = scr[0], scr[1], scr[2], scr[3]
+    # scr[:14] are [nlayer, bw] Thomas scratch; scr[14:18] are the
+    # angle-stacked [nlayer, nang*bw] sweep scratch
+    (tfull_s, tmid_s, sfull_s, smid_s) = scr[14], scr[15], scr[16], scr[17]
 
     b0 = all_b[:-1]
     b1 = (all_b[1:] - b0) / dtau
@@ -363,7 +454,7 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
 
     positive, negative = _solve_two_stream_scratch(
         nlayer, c_plus_up, c_minus_up, c_plus_down, c_minus_down,
-        b_top, b_surface, surf_reflect, gama, e1, e2, e3, e4, scr)
+        b_top, b_surface, surf_reflect, gama, e1, e2, e3, e4, scr[:14])
 
     G = (1.0 / mu1 - lamda) * positive
     H = gama * (lamda + 1.0 / mu1) * negative
@@ -372,12 +463,17 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
     exptrm_positive_mdpt = jnp.exp(0.5 * exptrm)
     exptrm_minus_mdpt = 1.0 / exptrm_positive_mdpt
 
+    # angle-stacked source-function sweep: one fori_loop serves all
+    # disk angles on [1, nang*bw] carries
+    fbots = []
     for ia in range(nang):
         iubar = u1_ref[ia]
+        sl = slice(ia * bw, (ia + 1) * bw)
         if hard_surface:
             fplus_bottom = (1.0 - surf_reflect) * all_b[-1:] * 2.0 * PI
         else:
             fplus_bottom = (all_b[-1:] + b1[-1:] * iubar) * 2.0 * PI
+        fbots.append(fplus_bottom)
 
         exptrm_angle = jnp.exp(-dtau / iubar)
         exptrm_angle_mdpt = jnp.exp(-0.5 * dtau / iubar)
@@ -395,21 +491,22 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
                   + alpha1 * (1.0 - exptrm_angle_mdpt)
                   + alpha2 * (iubar + 0.5 * dtau
                               - (dtau + iubar) * exptrm_angle_mdpt))
-        tfull_s[...] = exptrm_angle
-        tmid_s[...] = exptrm_angle_mdpt
-        sfull_s[...] = up_full
-        smid_s[...] = up_mid
+        tfull_s[:, sl] = exptrm_angle
+        tmid_s[:, sl] = exptrm_angle_mdpt
+        sfull_s[:, sl] = up_full
+        smid_s[:, sl] = up_mid
 
-        def up(i, carry):
-            fp_below, _ = carry
-            sl = pl.ds(nlayer - 1 - i, 1)
-            fp_mid = fp_below * tmid_s[sl] + smid_s[sl]
-            fp_above = fp_below * tfull_s[sl] + sfull_s[sl]
-            return (fp_above, fp_mid)
+    def up(i, carry):
+        fp_below, _ = carry
+        sl = pl.ds(nlayer - 1 - i, 1)
+        fp_mid = fp_below * tmid_s[sl] + smid_s[sl]
+        fp_above = fp_below * tfull_s[sl] + sfull_s[sl]
+        return (fp_above, fp_mid)
 
-        _, flux_at_top = jax.lax.fori_loop(
-            0, nlayer, up, (fplus_bottom, fplus_bottom))
-        out_ref[ia:ia + 1, :] = flux_at_top
+    fb = jnp.concatenate(fbots, 1)
+    _, flux_at_top = jax.lax.fori_loop(0, nlayer, up, (fb, fb))
+    for ia in range(nang):
+        out_ref[ia:ia + 1, :] = flux_at_top[:, ia * bw:(ia + 1) * bw]
 
 
 @partial(jax.jit, static_argnames=('hard_surface', 'block_w', 'interpret'))
@@ -427,22 +524,15 @@ def thermal_pallas(all_b, dtau, w0, cosb, tau_top, surf_reflect, ubar1,
     ng, nt = ubar1.shape
     nang = ng * nt
     nlayer, nwno = dtau.shape
-    pad = (-nwno) % block_w
-    if pad:
-        def padw(x):
-            return jnp.pad(x, ((0, 0), (0, pad)), mode='edge')
-        all_b, dtau, w0, cosb = (padw(x) for x in (all_b, dtau, w0, cosb))
-        tau_top = jnp.pad(tau_top, (0, pad), mode='edge')
-        surf_reflect = jnp.pad(surf_reflect, (0, pad), mode='edge')
-    nw = nwno + pad
-    nblocks = nw // block_w
+    nblocks = -(-nwno // block_w)
 
     u1 = ubar1.reshape(-1).astype(dtau.dtype)
     layer_spec = pl.BlockSpec((nlayer, block_w), lambda i: (0, i))
     level_spec = pl.BlockSpec((nlayer + 1, block_w), lambda i: (0, i))
     row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    scratch = pltpu.VMEM((nlayer, block_w), dtau.dtype)
+    thomas = pltpu.VMEM((nlayer, block_w), dtau.dtype)
+    sweep = pltpu.VMEM((nlayer, nang * block_w), dtau.dtype)
 
     kernel = partial(_thermal_kernel, nang=nang,
                      hard_surface=bool(hard_surface))
@@ -452,8 +542,8 @@ def thermal_pallas(all_b, dtau, w0, cosb, tau_top, surf_reflect, ubar1,
         in_specs=[smem_spec, level_spec, layer_spec, layer_spec,
                   layer_spec, row_spec, row_spec],
         out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((nang, nw), dtau.dtype),
-        scratch_shapes=[scratch] * _N_SCRATCH,
+        out_shape=jax.ShapeDtypeStruct((nang, nwno), dtau.dtype),
+        scratch_shapes=[thomas] * 14 + [sweep] * 4,
         interpret=interpret,
     )(u1, all_b, dtau, w0, cosb, tau_top[None, :], surf_reflect[None, :])
-    return out[:, :nwno].reshape(ng, nt, nwno)
+    return out.reshape(ng, nt, nwno)
