@@ -19,11 +19,11 @@ from picaso_tpu.opacities.factory import build_synthetic_db
 import tempfile
 
 db = os.path.join(tempfile.mkdtemp(), 'synthetic_opacities.db')
-build_synthetic_db(db, wno=np.linspace(1e4 / 5.0, 1e4 / 1.0, 600),
+build_synthetic_db(db, wno=np.linspace(1e4 / 5.0, 1e4 / 1.0, 300),
                    molecules=('H2O', 'CH4'))
 opa = jdi.opannection(filename_db=db)
 
-nlevel = 31
+nlevel = 21
 pressure = np.logspace(-6, 2, nlevel)
 
 
@@ -64,8 +64,8 @@ def prior(u):
     return u
 
 
-res = nested_sample(loglike, prior, ndim=2, nlive=30, max_iter=150,
-                    walks=6, seed=2)
+res = nested_sample(loglike, prior, ndim=2, nlive=20, max_iter=60,
+                    walks=5, seed=2)
 post = res.samples_equal
 med = np.median(post, axis=0)
 print(f'truth T={truth[0]} logH2O={truth[1]}')
