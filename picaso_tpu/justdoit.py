@@ -399,9 +399,9 @@ class inputs:
         self.inputs['clouds']['profile'] = {'opd': opd, 'g0': g0, 'w0': w0}
         self.inputs['clouds']['wavenumber'] = wavenumber
 
-    def sonora(self, sonora_path, teff, chem='low'):  # pragma: no cover
-        raise NotImplementedError(
-            'sonora grid loading lands with the grid-fitting milestone')
+    def sonora(self, sonora_path, teff, chem='low'):
+        """Nearest Sonora Bobcat PT + chemistry (justdoit.py:2759)."""
+        return self.sonora_profile(sonora_path, teff, chem=chem)
 
     def guillot_pt(self, Teq, T_int=100, logg1=-1, logKir=-1.5, alpha=0.5,
                    nlevel=61, p_bottom=1.5, p_top=-6):

@@ -116,12 +116,18 @@ def _load_continuum(continuum_db, wno, dtype=np.float32):
 
 def load_ck_db(ck_db, method='preweighted', continuum_db=None,
                dtype=np.float32, **kwargs):
-    """Load a premixed CK table (hdf5 reference format, or the legacy
-    1460-grid ASCII directory — optics.py:768-1058)."""
-    if method != 'preweighted':
-        raise NotImplementedError(
-            'resortrebin (per-gas on-the-fly CK mixing) lands with the '
-            'disequilibrium-chemistry milestone; use preweighted')
+    """Load a CK table.
+
+    method='preweighted': premixed hdf5 (reference get_ck_tables format)
+    or the legacy 1460-grid ASCII directory (optics.py:768-1058).
+    method='resortrebin': a directory of per-gas <mol>_1460.hdf5 tables
+    (opacity_factory.py:2280); molecular k-coefficients are then mixed
+    on the fly from each atmosphere's abundances (gasesfly,
+    optics.py:1164-1198).  kwargs: preload_gases (list, required).
+    """
+    if method == 'resortrebin':
+        return _load_per_gas_ck(ck_db, kwargs.get('preload_gases'),
+                                continuum_db, dtype)
     if (os.path.isdir(ck_db)
             or os.path.basename(str(ck_db)) == 'ascii_data'):
         return _load_legacy_ck(ck_db, continuum_db, dtype)
@@ -160,6 +166,52 @@ def load_ck_db(ck_db, method='preweighted', continuum_db=None,
         cia_temps=jnp.asarray(cia_temps, dtype),
         continuum_molecules=cont_mols)
     return CKTable(arrays, molecules, abunds, gauss_pts, temps, pressures)
+
+
+def _load_per_gas_ck(ck_db, preload_gases, continuum_db, dtype):
+    """CKTable in gasesfly mode from per-gas hdf5 tables.
+
+    The premixed baseline cube is a solar-abundance kappa-space sum of
+    the per-gas tables (used only where no atmosphere abundances are
+    available); spectra and climate runs resort-rebin per layer.
+    """
+    from .resortrebin import load_per_gas_tables
+
+    if not preload_gases:
+        raise ValueError("method='resortrebin' needs preload_gases=[...]")
+    per_gas, meta = load_per_gas_tables(ck_db, preload_gases, dtype)
+    loaded = [m for m in preload_gases
+              if os.path.exists(os.path.join(ck_db, f'{m}_1460.hdf5'))]
+    solar = {'H2O': 1e-3, 'CH4': 5e-4, 'CO': 3e-4, 'NH3': 1e-4,
+             'CO2': 1e-7, 'H2S': 3e-5}
+    w = np.array([solar.get(m, 1e-5) for m in loaded], dtype)
+    premix = np.log(np.einsum(
+        'g,gptwk->ptwk', w, np.exp(np.asarray(per_gas))) + 1e-300)
+
+    wno = np.asarray(meta['wno'], float)
+    temps = np.asarray(meta['temps'], float)
+    pressures = np.asarray(meta['pressures'], float)
+    rows = [{m: solar.get(m, 1e-5) for m in loaded}
+            | {'H2': 0.837, 'He': 0.155, 'temperature': T, 'pressure': P}
+            for T in temps for P in pressures]
+    abunds = pd.DataFrame(rows)
+
+    if continuum_db is None:
+        continuum_db = refdata_path('opacities', 'ck_cx_cont_opacities.db')
+    cont, cia_temps, cont_mols = _load_continuum(continuum_db, wno, dtype)
+    arrays = CKArrays(
+        wno=jnp.asarray(wno), delta_wno=jnp.asarray(meta['delta_wno']),
+        gauss_wts=jnp.asarray(meta['gauss_wts'], dtype),
+        ln_kappa=jnp.asarray(premix, dtype),
+        p_log_grid=jnp.asarray(np.log10(pressures[pressures > 0]), dtype),
+        t_inv_grid=jnp.asarray(1.0 / temps, dtype),
+        nc_p=jnp.asarray(meta['nc_p'], jnp.int32),
+        cont_opa=jnp.asarray(cont),
+        cia_temps=jnp.asarray(cia_temps, dtype),
+        continuum_molecules=cont_mols)
+    return CKTable(arrays, loaded, abunds, meta['gauss_pts'], temps,
+                   pressures, per_gas=jnp.asarray(per_gas),
+                   per_gas_molecules=loaded)
 
 
 def _load_legacy_ck(ck_db, continuum_db, dtype):
@@ -348,16 +400,32 @@ def ck_continuum(ck: CKArrays, tlayer):
 
 
 def ck_taugas(ck_table, atm):
-    """TAUGAS [ngauss, nlayer, nwno] for the spectrum path (premixed CK).
+    """TAUGAS [ngauss, nlayer, nwno] for the spectrum path.
 
     Premixed kappa needs no mixing-ratio weighting (optics.py:257-262);
-    continuum follows the CK CIA log-interp.
+    with per-gas tables attached the molecular k-coefficients are instead
+    resort-rebin mixed on the fly from the atmosphere's own abundances
+    (gasesfly mode, optics.py:1164-1198).  Continuum follows the CK CIA
+    log-interp either way.
     """
     from . import assemble
     from ..constants import PCONV
 
-    kappa = interp_premix(ck_table.arrays, jnp.asarray(atm.t_layer),
-                          jnp.asarray(atm.p_layer / PCONV))
+    if ck_table.per_gas is not None:
+        from . import resortrebin as rr
+        mixes = jnp.stack([
+            jnp.asarray(atm.mixing_ratio_layer(m))
+            if m in atm.molecules else jnp.zeros(atm.nlayer)
+            for m in ck_table.per_gas_molecules])
+        kappa = rr.resortrebin_kappa(
+            ck_table.per_gas, ck_table.arrays.t_inv_grid,
+            ck_table.arrays.p_log_grid, ck_table.arrays.nc_p,
+            jnp.asarray(ck_table.gauss_pts),
+            jnp.asarray(ck_table.gauss_wts), mixes,
+            jnp.asarray(atm.t_layer), jnp.asarray(atm.p_layer / PCONV))
+    else:
+        kappa = interp_premix(ck_table.arrays, jnp.asarray(atm.t_layer),
+                              jnp.asarray(atm.p_layer / PCONV))
     taugas = (kappa * (atm.colden / atm.mmw_layer)[:, None, None]
               ).transpose(2, 0, 1)
 

@@ -34,9 +34,6 @@ from .toon import ScatteringControls, _EXP_CLIP
 
 __all__ = ['reflected_pallas', 'thermal_pallas']
 
-_N_SCRATCH = 16
-
-
 def _solve_two_stream_scratch(nlayer, c_plus_up, c_minus_up, c_plus_down,
                               c_minus_down, b_top_row, b_surface_row,
                               sr_row, gama, e1, e2, e3, e4, scr):
@@ -190,8 +187,12 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
     # The disk angles are independent, so the three layer recursions run
     # ONCE over angle-stacked scratch [nlayer, nang*bw] — nang x fewer
     # loop iterations and nang x wider VPU vectors than a per-angle loop.
+    # 12 scratch refs; the coefficient buffers are dead after the
+    # backward sweep, so the forward solution reuses ao/bo and the
+    # ascend transmission/source reuse co/do
     (ao_s, bo_s, co_s, do_s, ae_s, be_s, ce_s, de_s,
-     aso_s, dso_s, ase_s, dse_s, xo_s, xe_s, tr_s, sc_s) = scr
+     aso_s, dso_s, ase_s, dse_s) = scr
+    xo_s, xe_s, tr_s, sc_s = ao_s, bo_s, co_s, do_s
     bw = dtau.shape[1]
     carries_as, carries_ds = [], []
     cpd_last, cpu_all, cmu_all = [], [], []
@@ -359,7 +360,7 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                      dtau_og, tau_og, w0_og, cosb_og, surf_reflect,
                      ubar0, ubar1, cos_theta, F0PI,
                      controls: ScatteringControls = ScatteringControls(),
-                     b_top: float = 0.0, block_w: int = 256,
+                     b_top: float = 0.0, block_w: int = 384,
                      interpret: bool = False):
     """TOA reflected intensity [ng, nt, nwno] — Pallas fast path.
 
@@ -384,6 +385,7 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     # angle-stacked scratch: the layer recursions sweep all disk angles
     # in one fori_loop over [nlayer, nang*block_w] rows
     scratch = pltpu.VMEM((nlayer, nang * block_w), dtau.dtype)
+    n_scratch = 12
 
     kernel = partial(_reflected_kernel, controls=controls, nang=nang,
                      b_top=float(b_top))
@@ -396,7 +398,9 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   layer_spec, row_spec, row_spec],
         out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nang, nwno), dtau.dtype),
-        scratch_shapes=[scratch] * _N_SCRATCH,
+        scratch_shapes=[scratch] * n_scratch,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(u0, u1, ct, dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray, dtau_og,
       tau_og, w0_og, cosb_og, surf_reflect[None, :], F0PI[None, :])

@@ -157,3 +157,58 @@ def test_legacy_ascii_roundtrip(tmp_path):
     np.testing.assert_allclose(out['abunds'][:, :7], abunds)
     np.testing.assert_allclose(out['pressure_labels'],
                                press[press > 0])
+
+
+def test_resortrebin_connection(tmp_path):
+    """method='resortrebin': per-gas hdf5 dir -> gasesfly CK spectra."""
+    import h5py
+    import jax.numpy as jnp
+    from picaso_tpu.opacities.ck import load_ck_db, ck_taugas
+    from picaso_tpu.opacities.resortrebin import synthetic_per_gas_tables
+    from picaso_tpu.opacities.factory import default_pt_grid
+    from picaso_tpu.opacities.db import connect
+    from picaso_tpu.refdata import refdata_path
+
+    cur, conn = connect(refdata_path('opacities',
+                                     'ck_cx_cont_opacities.db'))
+    cur.execute('SELECT wavenumber_grid FROM header')
+    wno = cur.fetchone()[0]
+    conn.close()
+    mols = ('H2O', 'CH4')
+    tables, meta = synthetic_per_gas_tables(wno, molecules=mols,
+                                            ntemp=6, npress=5)
+    temps, press = meta['temps'], meta['pressures']
+    wno = np.asarray(wno, float)
+    delta_wno = np.gradient(wno)
+    for i, m in enumerate(mols):
+        with h5py.File(tmp_path / f'{m}_1460.hdf5', 'w') as f:
+            f['kcoeffs'] = np.asarray(tables[i])
+            f['wno'] = wno
+            f['delta_wno'] = delta_wno
+            f['pressures'] = np.tile(press, len(temps))
+            f['temperatures'] = np.repeat(temps, len(press))
+            f['gauss_pts'] = meta['gauss_pts']
+            f['gauss_wts'] = meta['gauss_wts']
+            f['nc_p'] = np.full(len(temps), len(press))
+
+    ck = load_ck_db(str(tmp_path), method='resortrebin',
+                    preload_gases=list(mols))
+    assert ck.per_gas is not None and ck.per_gas_molecules == list(mols) \
+        or tuple(ck.per_gas_molecules) == mols
+
+    from picaso_tpu.atmosphere import build_atmosphere
+    nlevel = 15
+    prof = {'pressure': np.logspace(-4, 2, nlevel),
+            'temperature': np.clip(900 * (np.logspace(-4, 2, nlevel)
+                                          / 10) ** 0.1, 300, None),
+            'H2': np.full(nlevel, 0.85), 'He': np.full(nlevel, 0.14),
+            'H2O': np.full(nlevel, 1e-3), 'CH4': np.full(nlevel, 3e-4)}
+    atm = build_atmosphere(prof, gravity=1e4, wno=np.asarray(wno))
+    taugas = np.asarray(ck_taugas(ck, atm))
+    assert taugas.shape == (ck.ngauss, nlevel - 1, len(wno))
+    assert np.isfinite(taugas).all() and (taugas >= 0).all()
+    # doubling H2O must increase opacity in the H2O band
+    prof2 = dict(prof, H2O=np.full(nlevel, 5e-3))
+    atm2 = build_atmosphere(prof2, gravity=1e4, wno=np.asarray(wno))
+    t2 = np.asarray(ck_taugas(ck, atm2))
+    assert t2.sum() > taugas.sum()
