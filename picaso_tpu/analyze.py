@@ -147,6 +147,61 @@ class GridFitter:
         probs = np.array([w[vals == v].sum() for v in uniq])
         return uniq, probs / probs.sum()
 
+    def prep_gridtrieval(self, parameters):
+        """Index a full-factorial model grid for multilinear interpolation.
+
+        Port of the reference gridtrieval prep (analyze.py:709-1063):
+        builds sorted unique axis values per parameter and the row-index
+        lattice; raises if the grid is not a complete cartesian product
+        (use interp_models for scattered grids).
+        """
+        P = np.asarray(self.grid_params[list(parameters)], dtype=float)
+        axes = [np.unique(P[:, j]) for j in range(P.shape[1])]
+        shape = tuple(len(a) for a in axes)
+        if int(np.prod(shape)) != P.shape[0]:
+            raise ValueError(
+                f'grid is not full-factorial: {shape} vs {P.shape[0]} '
+                'members; use interp_models')
+        lattice = np.full(shape, -1, dtype=int)
+        for row in range(P.shape[0]):
+            idx = tuple(int(np.searchsorted(axes[j], P[row, j]))
+                        for j in range(P.shape[1]))
+            lattice[idx] = row
+        if (lattice < 0).any():
+            raise ValueError('duplicate or missing grid members')
+        self._gridtrieval = dict(parameters=list(parameters), axes=axes,
+                                 lattice=lattice)
+        return axes
+
+    def custom_interp(self, point):
+        """Multilinear interpolation of grid spectra at ``point``.
+
+        Requires prep_gridtrieval first; clamps outside the hull.  This
+        is the continuous forward model for retrievals over grid
+        parameters ("gridtrieval", analyze.py:709-1063).
+        """
+        g = self._gridtrieval
+        axes, lattice = g['axes'], g['lattice']
+        nd = len(axes)
+        los, ws = [], []
+        for j, a in enumerate(axes):
+            x = float(np.clip(point[j], a[0], a[-1]))
+            hi = int(np.clip(np.searchsorted(a, x), 1, len(a) - 1))
+            lo = hi - 1
+            w = 0.0 if a[hi] == a[lo] else (x - a[lo]) / (a[hi] - a[lo])
+            los.append(lo)
+            ws.append(w)
+        out = 0.0
+        for corner in range(1 << nd):
+            idx, weight = [], 1.0
+            for j in range(nd):
+                bit = (corner >> j) & 1
+                idx.append(min(los[j] + bit, len(axes[j]) - 1))
+                weight *= ws[j] if bit else (1.0 - ws[j])
+            if weight:
+                out = out + weight * self.spectra[lattice[tuple(idx)]]
+        return out
+
     def interp_models(self, parameters, point):
         """Inverse-distance interpolation between grid members in
         normalized parameter space ('gridtrieval', analyze.py:709-1063)."""

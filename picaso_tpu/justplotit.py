@@ -16,7 +16,12 @@ from .wavelength import mean_regrid
 __all__ = ['spectrum', 'pt', 'mixing_ratio', 'photon_attenuation',
            'taumap', 'disco', 'brightness_temperature',
            'animate_convergence', 'phase_curve', 'pt_adiabat',
-           'mean_regrid']
+           'mean_regrid', 'plot_errorbar', 'plot_multierror',
+           'bin_errors', 'plot_cld_input', 'cloud', 'map',
+           'spectrum_hires', 'flux_at_top', 'plot_evolution',
+           'all_optics_1d', 'heatmap_taus', 'create_heat_map',
+           'rt_heatmap', 'thermal_contribution', 'molecule_contribution',
+           'transmission_contribution', 'phase_snaps']
 
 
 def _fig(**kw):
@@ -200,3 +205,234 @@ def pt_adiabat(climate_out, ax=None):
     ax.set_ylabel('pressure (bar)')
     ax.legend()
     return ax.figure
+
+
+def plot_errorbar(x, y, e, ax=None, plot_kwargs=None, **kw):
+    """Data + error bars (justplotit.py plot_errorbar)."""
+    fig = None
+    if ax is None:
+        fig, ax = _fig()
+    ax.errorbar(np.asarray(x), np.asarray(y), yerr=np.asarray(e), fmt='o',
+                **(plot_kwargs or {}), **kw)
+    return fig or ax.figure
+
+
+def plot_multierror(x, y, ax=None, dx_low=0, dx_up=0, dy_low=0, dy_up=0,
+                    **kw):
+    """Asymmetric x/y error bars (justplotit.py plot_multierror)."""
+    fig = None
+    if ax is None:
+        fig, ax = _fig()
+    ax.errorbar(np.asarray(x), np.asarray(y),
+                xerr=[np.atleast_1d(dx_low), np.atleast_1d(dx_up)]
+                if np.any(dx_low) or np.any(dx_up) else None,
+                yerr=[np.atleast_1d(dy_low), np.atleast_1d(dy_up)]
+                if np.any(dy_low) or np.any(dy_up) else None,
+                fmt='o', **kw)
+    return fig or ax.figure
+
+
+def bin_errors(newx, oldx, dy):
+    """Quadrature-rebin uncertainties onto a coarser grid
+    (justplotit.py bin_errors)."""
+    newx = np.asarray(newx, float)
+    oldx = np.asarray(oldx, float)
+    dy = np.asarray(dy, float)
+    edges = np.concatenate([[newx[0] - (newx[1] - newx[0]) / 2],
+                            (newx[1:] + newx[:-1]) / 2,
+                            [newx[-1] + (newx[-1] - newx[-2]) / 2]])
+    out = np.zeros(len(newx))
+    for i in range(len(newx)):
+        sel = (oldx >= edges[i]) & (oldx < edges[i + 1])
+        n = sel.sum()
+        out[i] = np.sqrt(np.sum(dy[sel] ** 2)) / max(n, 1)
+    return out
+
+
+def plot_cld_input(nwno, nlayer, filename=None, df=None, pressure=None,
+                   wavenumber=None, **kw):
+    """Heatmaps of a cloud input file's opd/g0/w0 (justplotit.py
+    plot_cld_input)."""
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    if df is None and filename is not None:
+        df = pd.read_csv(filename, sep=r'\s+')
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    for ax, key in zip(axes, ('opd', 'g0', 'w0')):
+        m = np.reshape(np.asarray(df[key]), (nlayer, nwno))
+        im = ax.imshow(m, aspect='auto', origin='lower', **kw)
+        ax.set_title(key)
+        ax.set_xlabel('wavenumber index')
+        ax.set_ylabel('layer')
+        fig.colorbar(im, ax=ax)
+    return fig
+
+
+def cloud(full_output, wno_index=None):
+    """Cloud optical-depth / ssa / asymmetry heatmaps from full_output
+    (justplotit.py cloud)."""
+    import matplotlib.pyplot as plt
+    lay = full_output['layer']
+    pressure = np.asarray(lay['pressure'])
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    for ax, key in zip(axes, ('opd', 'g0', 'w0')):
+        m = np.asarray(lay['cloud'][key])
+        im = ax.imshow(m, aspect='auto', origin='upper',
+                       extent=[0, m.shape[1], pressure[-1], pressure[0]])
+        ax.set_yscale('log')
+        ax.set_title(f'cloud {key}')
+        ax.set_xlabel('wavenumber index')
+        ax.set_ylabel('pressure [bar]')
+        fig.colorbar(im, ax=ax)
+    return fig
+
+
+def map(full_output_or_xint, wno=None, wno_index=0, pressure=None,
+        to_plot=None):
+    """Lat/lon facet map of TOA intensity at one wavelength
+    (justplotit.py map)."""
+    return taumap(full_output_or_xint, wno_index=wno_index,
+                  title='disk map')
+
+
+def spectrum_hires(wno, alb_or_flux, ax=None, **kw):
+    """Unbinned high-resolution spectrum (justplotit.py spectrum_hires)."""
+    return spectrum(wno, alb_or_flux, R=None, ax=ax, **kw)
+
+
+def flux_at_top(full_output_or_flux, wno=None, pressures=None, ax=None,
+                **kw):
+    """TOA flux spectrum helper (justplotit.py flux_at_top)."""
+    if isinstance(full_output_or_flux, dict):
+        wno = full_output_or_flux['wavenumber']
+        flux = full_output_or_flux.get('thermal',
+                                       full_output_or_flux.get('flux'))
+    else:
+        flux = full_output_or_flux
+    return spectrum(wno, flux, y_label='flux at top', ax=ax, **kw)
+
+
+def plot_evolution(evo_table, y='Teff', ax=None):
+    """Evolution-track plot (justplotit.py plot_evolution): y vs age for
+    the hot/cold start tables from justdoit.evolution_track."""
+    fig = None
+    if ax is None:
+        fig, ax = _fig()
+    for kind in ('hot', 'cold'):
+        t = evo_table.get(kind) if isinstance(evo_table, dict) else None
+        if t is None:
+            continue
+        age = np.asarray(t['age_years'])
+        cols = [c for c in t.keys() if str(c).startswith(y)]
+        for c in cols:
+            ax.loglog(age, np.asarray(t[c]), label=f'{kind} {c}')
+    ax.set_xlabel('age [yr]')
+    ax.set_ylabel(y)
+    ax.legend(fontsize=7)
+    return fig or ax.figure
+
+
+def all_optics_1d(full_output, wave_range=None, ax=None):
+    """Layer-integrated taugas/taucld/tauray profiles
+    (justplotit.py all_optics_1d); needs taus from get_contribution."""
+    fig = None
+    if ax is None:
+        fig, ax = _fig()
+    pressure = np.asarray(full_output['layer']['pressure'])
+    for key in ('taugas', 'taucld', 'tauray'):
+        if key in full_output:
+            prof = np.asarray(full_output[key]).sum(axis=1)
+            ax.loglog(prof, pressure, label=key)
+    ax.invert_yaxis()
+    ax.set_xlabel('column optical depth')
+    ax.set_ylabel('pressure [bar]')
+    ax.legend()
+    return fig or ax.figure
+
+
+def heatmap_taus(out, wno=None):
+    """Per-species cumulative-tau heatmaps (justplotit.py heatmap_taus);
+    ``out`` is get_contribution's return."""
+    import matplotlib.pyplot as plt
+    taus = out['taus_per_layer'] if 'taus_per_layer' in out else out
+    keys = [k for k in taus.keys()]
+    n = len(keys)
+    fig, axes = plt.subplots(1, max(n, 1), figsize=(4 * max(n, 1), 4),
+                             squeeze=False)
+    for ax, k in zip(axes[0], keys):
+        m = np.asarray(taus[k])
+        im = ax.imshow(np.log10(np.maximum(m, 1e-30)), aspect='auto',
+                       origin='lower')
+        ax.set_title(k)
+        fig.colorbar(im, ax=ax)
+    return fig
+
+
+def create_heat_map(matrix, x=None, y=None, title='', ax=None,
+                    log=True, **kw):
+    """Generic (wavelength x pressure) heatmap (justplotit.py
+    create_heat_map / rt_heatmap)."""
+    fig = None
+    if ax is None:
+        fig, ax = _fig()
+    m = np.asarray(matrix)
+    if log:
+        m = np.log10(np.maximum(np.abs(m), 1e-30))
+    im = ax.imshow(m, aspect='auto', origin='lower', **kw)
+    ax.set_title(title)
+    ax.figure.colorbar(im, ax=ax)
+    return fig or ax.figure
+
+
+rt_heatmap = create_heat_map
+
+
+def _contribution(contrib_key):
+    def plot(out, full_output=None, R=None, ax=None, norm=None, **kw):
+        fig = None
+        if ax is None:
+            fig, ax = _fig()
+        wno = np.asarray(out['wavenumber']) if 'wavenumber' in out else None
+        taus = out.get(contrib_key, out)
+        pressure = None
+        if full_output is not None:
+            pressure = np.asarray(full_output['layer']['pressure'])
+        if isinstance(taus, dict):
+            for k, v in taus.items():
+                prof = np.asarray(v)
+                if prof.ndim == 2 and wno is not None:
+                    ax.semilogy(1e4 / wno, prof.sum(0), label=str(k))
+                elif prof.ndim == 1 and wno is not None:
+                    ax.semilogy(1e4 / wno, prof, label=str(k))
+            ax.set_xlabel('wavelength [micron]')
+            ax.set_ylabel('cumulative optical depth')
+            ax.legend(fontsize=7)
+        else:
+            m = np.asarray(taus)
+            create_heat_map(m, ax=ax, title=contrib_key)
+        return fig or ax.figure
+    return plot
+
+
+thermal_contribution = _contribution('taus_total')
+molecule_contribution = _contribution('taus_per_layer')
+transmission_contribution = _contribution('taus_total')
+
+
+def phase_snaps(allout, to_plot='thermal', ncols=4):
+    """Grid of disk maps across phase (justplotit.py phase_snaps)."""
+    import matplotlib.pyplot as plt
+    phases = list(allout.keys())
+    n = len(phases)
+    ncols = min(ncols, max(n, 1))
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 3 * nrows),
+                             squeeze=False)
+    for k, phase in enumerate(phases):
+        ax = axes[k // ncols][k % ncols]
+        out = allout[phase]
+        v = np.asarray(out[to_plot])
+        ax.plot(np.asarray(out.get('wavenumber', np.arange(v.shape[-1]))),
+                v if v.ndim == 1 else v.reshape(-1, v.shape[-1]).mean(0))
+        ax.set_title(f'phase {float(phase):.2f}')
+    return fig

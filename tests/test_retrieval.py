@@ -191,3 +191,34 @@ def test_detection_test_sigma():
     assert res['sigma_single_v_line'] > 3.0
     s, lnb = sigma(10.0, 0.0)
     assert s > 3.5 and abs(lnb - 10.0) < 1e-12
+
+
+def test_gridtrieval_multilinear():
+    """custom_interp reproduces a linear response exactly at off-grid
+    points (multilinear interpolation on a full-factorial grid)."""
+    from picaso_tpu.analyze import GridFitter
+
+    wno = np.linspace(1000, 5000, 12)
+    t_axis = np.array([500.0, 1000.0, 1500.0])
+    m_axis = np.array([0.0, 1.0])
+    rows, specs = [], []
+    for t in t_axis:
+        for m in m_axis:
+            rows.append({'teff': t, 'mh': m})
+            specs.append(t * 1e-4 + m * 0.3 + 0 * wno)
+    fitter = GridFitter('toy', models={'wavenumber': wno,
+                                       'spectra': np.array(specs)},
+                        grid_parameters=pd.DataFrame(rows), verbose=False)
+    fitter.prep_gridtrieval(['teff', 'mh'])
+    got = fitter.custom_interp([750.0, 0.25])
+    np.testing.assert_allclose(got, 750 * 1e-4 + 0.25 * 0.3, rtol=1e-12)
+    # clamped outside the hull
+    got = fitter.custom_interp([10000.0, -5.0])
+    np.testing.assert_allclose(got, 1500 * 1e-4 + 0.0, rtol=1e-12)
+    # incomplete grids are rejected
+    fitter2 = GridFitter('toy2', models={'wavenumber': wno,
+                                         'spectra': np.array(specs[:-1])},
+                         grid_parameters=pd.DataFrame(rows[:-1]),
+                         verbose=False)
+    with pytest.raises(ValueError):
+        fitter2.prep_gridtrieval(['teff', 'mh'])

@@ -99,3 +99,51 @@ def test_guillot_pt():
     df = case.guillot_pt(1000, T_int=150)
     assert (df['temperature'] > 500).all()
     assert df['temperature'].iloc[-1] > df['temperature'].iloc[0]
+
+
+def test_justplotit_surface():
+    """Every plot function renders on synthetic data without error."""
+    import matplotlib
+    matplotlib.use('Agg')
+    from picaso_tpu import justplotit as jpi
+
+    rng = np.random.default_rng(0)
+    wno = np.linspace(1000, 10000, 50)
+    flux = rng.uniform(0.5, 1.0, 50)
+    jpi.spectrum(wno, flux, R=20)
+    jpi.spectrum_hires(wno, flux)
+    jpi.plot_errorbar(wno, flux, flux * 0.1)
+    jpi.plot_multierror(wno, flux, dy_low=flux * 0.1, dy_up=flux * 0.1)
+    be = jpi.bin_errors(wno[::5], wno, flux * 0.1)
+    assert len(be) == len(wno[::5])
+    jpi.brightness_temperature(wno, flux * 1e9)
+    jpi.flux_at_top({'wavenumber': wno, 'thermal': flux})
+
+    nlayer = 10
+    full = {'layer': {'pressure': np.logspace(-4, 2, nlayer),
+                      'temperature': np.linspace(500, 1500, nlayer),
+                      'cloud': {'opd': rng.uniform(0, 1, (nlayer, 50)),
+                                'g0': np.full((nlayer, 50), 0.8),
+                                'w0': np.full((nlayer, 50), 0.9)}},
+            'wavenumber': wno,
+            'taugas': rng.uniform(0, 1, (nlayer, 50)),
+            'taucld': rng.uniform(0, 1, (nlayer, 50)),
+            'tauray': rng.uniform(0, 1, (nlayer, 50))}
+    jpi.cloud(full)
+    jpi.all_optics_1d(full)
+    jpi.create_heat_map(full['taugas'])
+    jpi.heatmap_taus({'H2O': full['taugas'], 'CH4': full['taucld']})
+    jpi.thermal_contribution({'wavenumber': wno,
+                              'taus_total': {'H2O': full['taugas']}})
+    import pandas as pd
+    df = pd.DataFrame({'opd': rng.uniform(0, 1, nlayer * 50),
+                       'g0': np.zeros(nlayer * 50) + 0.8,
+                       'w0': np.zeros(nlayer * 50) + 0.9})
+    jpi.plot_cld_input(50, nlayer, df=df)
+    evo = {'hot': pd.DataFrame({'age_years': np.logspace(6, 9, 10),
+                                'Teff1Mj': np.linspace(2000, 500, 10)})}
+    jpi.plot_evolution(evo)
+    jpi.phase_snaps({0.0: {'wavenumber': wno, 'thermal': flux},
+                     1.5: {'wavenumber': wno, 'thermal': flux}})
+    import matplotlib.pyplot as plt
+    plt.close('all')
