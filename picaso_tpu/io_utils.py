@@ -16,7 +16,7 @@ import os
 import numpy as np
 import pandas as pd
 
-__all__ = ['read_json', 'read_hdf', 'write_all_profiles', 'read_visscher',
+__all__ = ['read_json', 'read_hdf', 'write_all_profiles', 'read_visscher', 'merge_models',
            'save_model', 'load_model', 'standard_metadata']
 
 
@@ -162,3 +162,36 @@ def load_model(filename, opannection=None):
             kw.update(semi_major=float(sa), semi_major_unit=u.Unit('cm'))
         case.star(opannection, float(star_temp), 0.0, 4.5, **kw)
     return case, spectra, attrs
+
+
+def merge_models(outputs, concat_dim='model'):
+    """Merge several computed-model dicts into stacked arrays.
+
+    Parity role of justdoit.merge_xarrays (justdoit.py:664): given an
+    iterable of spectrum dicts (or .h5 paths written by save_model),
+    returns one dict with each spectral key stacked along a leading
+    model axis plus the shared wavenumber grid.
+    """
+    import h5py
+    dicts = []
+    for o in outputs:
+        if isinstance(o, (str, bytes)):
+            with h5py.File(o, 'r') as f:
+                dicts.append({k: np.asarray(v)
+                              for k, v in f['spectra'].items()})
+        else:
+            dicts.append(o)
+    keys = set(dicts[0])
+    for d in dicts[1:]:
+        keys &= set(d)
+    out = {}
+    for k in sorted(keys):
+        if k == 'wavenumber':
+            out[k] = np.asarray(dicts[0][k])
+        else:
+            try:
+                out[k] = np.stack([np.asarray(d[k]) for d in dicts])
+            except ValueError:
+                out[k] = [d[k] for d in dicts]
+    out[f'n_{concat_dim}'] = len(dicts)
+    return out

@@ -1637,3 +1637,27 @@ def convert_flux_units(xgrid, flux, to_f_unit, xgrid_unit='cm^(-1)',
             and xgrid[1] > xgrid[0]:
         out = out[::-1]
     return out
+
+
+def output_xarray(df, case, add_output=None, savefile=None, **kwargs):
+    """Persist a computed model (parity name for justdoit.py:705).
+
+    xarray/netcdf is not part of this build's dependency set, so models
+    round-trip through the self-describing HDF5 layout of
+    io_utils.save_model instead (same content: spectra, profile, clouds,
+    planet/star attributes, free-form metadata).  Returns the file path.
+    """
+    from .io_utils import save_model
+    if savefile is None:
+        raise ValueError('give savefile= path for the stored model')
+    return save_model(savefile, case, df, meta=add_output or {})
+
+
+def input_xarray(filename, opannection=None, **kwargs):
+    """Rebuild an inputs bundle from a stored model (justdoit.py:979).
+
+    Counterpart of output_xarray; accepts the HDF5 files written by
+    io_utils.save_model and returns (case, stored_spectra).
+    """
+    from .io_utils import load_model
+    return load_model(filename, opannection=opannection)

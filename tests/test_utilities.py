@@ -147,3 +147,16 @@ def test_justplotit_surface():
                      1.5: {'wavenumber': wno, 'thermal': flux}})
     import matplotlib.pyplot as plt
     plt.close('all')
+
+
+def test_model_io_parity_names():
+    from picaso_tpu.io_utils import merge_models
+    from picaso_tpu import justdoit as jdi
+
+    wno = np.linspace(1000, 5000, 10)
+    d1 = {'wavenumber': wno, 'albedo': np.ones(10)}
+    d2 = {'wavenumber': wno, 'albedo': np.zeros(10)}
+    m = merge_models([d1, d2])
+    assert m['albedo'].shape == (2, 10)
+    assert m['n_model'] == 2
+    assert callable(jdi.output_xarray) and callable(jdi.input_xarray)
