@@ -403,6 +403,33 @@ class inputs:
         """Nearest Sonora Bobcat PT + chemistry (justdoit.py:2759)."""
         return self.sonora_profile(sonora_path, teff, chem=chem)
 
+    def TP_line_earth(self, P, Tsfc=294.0, Psfc=1.0, gam_trop=0.18,
+                      Ptrop=0.199, gam_strat=-0.045, Pstrat=0.001,
+                      nlevel=150):
+        """Earth-like piecewise lapse-rate T(P) (justdoit.py:3351).
+
+        Dry-adiabat troposphere from (Tsfc, Psfc), power-law
+        stratosphere above Ptrop, isothermal below the surface and above
+        Pstrat, clipped to [10, 1000] K; stored as the atmosphere
+        profile.
+        """
+        P = np.asarray(P, float)
+        Ptrop = max(Ptrop, P.min())
+        Pstrat = max(Pstrat, P.min())
+        T_trop = Tsfc * (P / Psfc) ** gam_trop
+        T_pause = T_trop[P <= Ptrop][-1]
+        P_pause = P[P <= Ptrop][-1]
+        T_strat = T_pause * (P / P_pause) ** gam_strat
+        T = np.where(P >= Ptrop, T_trop, T_strat)
+        if (P >= Psfc).any():
+            T[P >= Psfc] = T[P >= Psfc][0]
+        T[P <= Pstrat] = T[P <= Pstrat][-1]
+        T = np.clip(T, 10.0, 1000.0)
+        self.inputs['atmosphere']['profile'] = pd.DataFrame(
+            {'temperature': T, 'pressure': P})
+        self.nlevel = len(P)
+        return self.inputs['atmosphere']['profile']
+
     def guillot_pt(self, Teq, T_int=100, logg1=-1, logKir=-1.5, alpha=0.5,
                    nlevel=61, p_bottom=1.5, p_top=-6):
         """Parameterized Guillot 2010 profile (port of justdoit.py:3283)."""
@@ -462,6 +489,18 @@ class inputs:
         self.inputs['atmosphere']['profile'] = out
         self.nlevel = out.shape[0]
         return out
+
+    def premix_atmosphere_photochem(self, opa, quench_levels=None,
+                                    **kwargs):
+        """Equilibrium chemistry seeded for a photochem kinetics run
+        (justdoit.py:2283): premix from the CK full_abunds table, then
+        hand the profile to the photochem wrapper (gated; see
+        picaso_tpu.photochem)."""
+        from .photochem import _require_photochem
+        _require_photochem()
+        return self.premix_atmosphere(opa=opa,
+                                      quench_levels=quench_levels,
+                                      **kwargs)
 
     # -- clouds ------------------------------------------------------------
     def clouds_reset(self):

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['PTGrid', 'OpacityGrid', 'load_opacity_db', 'interp_molecular',
+__all__ = ['PTGrid', 'OpacityGrid', 'load_opacity_db', 'interp_molecular', 'interp_molecular_nearest',
            'nearest_continuum']
 
 
@@ -256,3 +256,22 @@ def nearest_continuum(opa: OpacityGrid, tlayer):
     """
     it = jnp.argmin(jnp.abs(opa.cia_temps[None, :] - tlayer[:, None]), axis=1)
     return opa.cont_opa[:, it, :]
+
+
+@jax.jit
+def interp_molecular_nearest(opa: OpacityGrid, tlayer, player_bar):
+    """Nearest-(T, P) molecular cross sections: [nmol, nlayer, nwno].
+
+    Port of optics.py:2310-2368 ``get_opacities_nearest``: instead of
+    the 4-point bilinear blend, each layer takes the single closest grid
+    point (rounded bilinear weights), which the reference offers for
+    speed/debugging parity checks.
+    """
+    t_w, p_w, idx = _find_indices(opa.pt, tlayer, player_bar)
+    q = (jnp.round(t_w).astype(jnp.int32) * 2
+         + jnp.round(p_w).astype(jnp.int32))
+    # idx rows are (ll, hl, hh, lh); remap so q = 2*round(t) + round(p)
+    sel = jnp.stack([idx[0], idx[3], idx[1], idx[2]], 0)
+    pick = jnp.take_along_axis(sel, q[None, :], axis=0)[0]
+    logk = opa.log_kappa[:, pick, :]
+    return 10.0 ** (logk + float(np.log10(AVOGADRO)))

@@ -88,3 +88,27 @@ def test_in_memory_grid_matches_sqlite(small_db):
         wno, molecules=grid_sql.molecules, ntemp=6, npress=5)
     np.testing.assert_allclose(np.asarray(grid_sql.log_kappa),
                                np.asarray(grid_mem.log_kappa), atol=1e-5)
+
+
+def test_interp_molecular_nearest(small_db):
+    """Nearest-neighbor variant picks exact grid values at grid nodes and
+    the closest corner off-node (optics.py:2310 get_opacities_nearest)."""
+    from picaso_tpu.opacities.db import (interp_molecular,
+                                         interp_molecular_nearest,
+                                         load_opacity_db)
+
+    path, _ = small_db
+    grid = load_opacity_db(path)
+    temps = 1.0 / np.asarray(grid.pt.t_inv_grid)
+    press = 10.0 ** np.asarray(grid.pt.p_log_grid)
+    # exactly on a grid node both interps agree
+    t0 = jnp.asarray([temps[2]])
+    p0 = jnp.asarray([press[3]])
+    a = np.asarray(interp_molecular(grid, t0, p0))
+    b = np.asarray(interp_molecular_nearest(grid, t0, p0))
+    np.testing.assert_allclose(b, a, rtol=2e-5)
+    # slightly off-node the nearest variant returns the node value
+    t1 = jnp.asarray([temps[2] * 1.01])
+    p1 = jnp.asarray([press[3] * 1.02])
+    c = np.asarray(interp_molecular_nearest(grid, t1, p1))
+    np.testing.assert_allclose(c, b, rtol=2e-5)

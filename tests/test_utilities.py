@@ -160,3 +160,20 @@ def test_model_io_parity_names():
     assert m['albedo'].shape == (2, 10)
     assert m['n_model'] == 2
     assert callable(jdi.output_xarray) and callable(jdi.input_xarray)
+
+
+def test_tp_line_earth():
+    from picaso_tpu import justdoit as jdi
+    case = jdi.inputs()
+    P = np.logspace(-6, 2, 80)
+    prof = case.TP_line_earth(P)
+    T = np.asarray(prof['temperature'])
+    assert T.min() >= 10 and T.max() <= 1000
+    # surface temperature near Tsfc, decreasing into the troposphere
+    i_sfc = np.argmin(np.abs(P - 1.0))
+    assert abs(T[i_sfc] - 294.0) < 10
+    i_trop = np.argmin(np.abs(P - 0.199))
+    assert T[i_trop] < T[i_sfc]
+    # stratosphere warms upward (negative lapse rate)
+    i_strat = np.argmin(np.abs(P - 0.01))
+    assert T[i_strat] > T[i_trop]
