@@ -30,7 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .toon import ScatteringControls, _EXP_CLIP
+from .toon import (ScatteringControls, _EXP_CLIP, _dither_u0,
+                   _resonant_ratio)
 
 __all__ = ['reflected_pallas', 'thermal_pallas']
 
@@ -204,13 +205,14 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
         else:
             g3 = 0.5 * (1.0 - sq3 * ftau_cld * cosb * u0)
         g4 = 1.0 - g3
-        denominator = lamda ** 2 - 1.0 / (u0 * u0)
-        a_minus = F0PI * w0 * (g4 * (g1 + 1.0 / u0) + g2 * g3) / denominator
-        a_plus = F0PI * w0 * (g3 * (g1 - 1.0 / u0) + g2 * g4) / denominator
-        x_up = jnp.exp(-tau[:-1] / u0)
+        u0b = _dither_u0(lamda, u0)  # off-eigenvalue beam (see toon.py)
+        denominator = lamda ** 2 - 1.0 / (u0b * u0b)
+        a_minus = F0PI * w0 * (g4 * (g1 + 1.0 / u0b) + g2 * g3) / denominator
+        a_plus = F0PI * w0 * (g3 * (g1 - 1.0 / u0b) + g2 * g4) / denominator
+        x_up = jnp.exp(-tau[:-1] / u0b)
         c_minus_up = a_minus * x_up
         c_plus_up = a_plus * x_up
-        x_dn = jnp.exp(-tau[1:] / u0)
+        x_dn = jnp.exp(-tau[1:] / u0b)
         c_minus_down = a_minus * x_dn
         c_plus_down = a_plus * x_dn
         b_surface = surf_reflect * u0 * F0PI * jnp.exp(-tau[-1:] / u0)
@@ -335,10 +337,12 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
                   * jnp.exp(-tau_og[:-1] / u0)
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1)))
+        den_u1 = lamda * u1 - 1.0
         msterm = (A_ * (1.0 - jnp.exp(-dtau * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1))
-                  + G * (jnp.exp(exptrm - dtau / u1) - 1.0)
-                  / (lamda * u1 - 1.0)
+                  + G * _resonant_ratio(
+                      jnp.exp(exptrm - dtau / u1) - 1.0, den_u1,
+                      (dtau / u1) * (1.0 + 0.5 * dtau * den_u1 / u1))
                   + H * (1.0 - jnp.exp(-exptrm - dtau / u1))
                   / (lamda * u1 + 1.0))
         sc_s[:, sl] = ssterm + msterm
@@ -481,15 +485,20 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
 
         exptrm_angle = jnp.exp(-dtau / iubar)
         exptrm_angle_mdpt = jnp.exp(-0.5 * dtau / iubar)
-        up_full = (G / (lamda * iubar - 1.0)
-                   * (exptrm_positive * exptrm_angle - 1.0)
+        den = lamda * iubar - 1.0
+        hdt = dtau / iubar
+        up_full = (G * _resonant_ratio(
+                       exptrm_positive * exptrm_angle - 1.0, den,
+                       hdt * (1.0 + 0.5 * hdt * den))
                    + H / (lamda * iubar + 1.0)
                    * (1.0 - exptrm_minus * exptrm_angle)
                    + alpha1 * (1.0 - exptrm_angle)
                    + alpha2 * (iubar - (dtau + iubar) * exptrm_angle))
-        up_mid = (G / (lamda * iubar - 1.0)
-                  * (exptrm_positive * exptrm_angle_mdpt
-                     - exptrm_positive_mdpt)
+        up_mid = (G * _resonant_ratio(
+                      exptrm_positive * exptrm_angle_mdpt
+                      - exptrm_positive_mdpt, den,
+                      exptrm_positive_mdpt * 0.5 * hdt
+                      * (1.0 + 0.25 * hdt * den))
                   - H / (lamda * iubar + 1.0)
                   * (exptrm_minus * exptrm_angle_mdpt - exptrm_minus_mdpt)
                   + alpha1 * (1.0 - exptrm_angle_mdpt)

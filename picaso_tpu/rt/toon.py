@@ -42,6 +42,45 @@ __all__ = [
 
 _EXP_CLIP = 35.0  # fluxes.py:1174 — overflow guard on lamda*dtau
 
+def _safe(den, eps=1e-6):
+    """Sign-preserving clamp of the lamda*mu -> 1 resonance denominators.
+
+    The reference divides by (lamda*ubar - 1) unprotected
+    (fluxes.py:1389-1400, :1883-1907) and NaNs on exact hits; clamping
+    only stops the NaN, so use it on a denominator whose ratio is also
+    guarded by :func:`_resonant_ratio` (or where the numerator vanishes
+    with the denominator by construction).
+    """
+    return jnp.where(jnp.abs(den) < eps,
+                     jnp.where(den < 0, -eps, eps), den)
+
+
+def _resonant_ratio(num, den, limit, eps=1e-4):
+    """``num / den`` with the analytic limit substituted near ``den = 0``.
+
+    The source-function terms divided by (lamda*mu - 1) are removable
+    expm1-type singularities (fluxes.py:1389-1400, :1883-1907): the
+    numerator vanishes with the denominator, so close to the resonance
+    the quotient is pure f32 cancellation noise.  ``limit`` is the
+    first-order Taylor expansion of the quotient, exact at den = 0.
+    """
+    return jnp.where(jnp.abs(den) < eps, limit, num / _safe(den))
+
+
+def _dither_u0(lamda, u0, delta=1e-3):
+    """Elementwise beam-angle dither off the lamda*u0 = 1 resonance.
+
+    The c+- particular solution has 1/(lamda^2 - 1/u0^2) with a
+    NON-removable singularity in a_plus/a_minus individually (the finite
+    physical limit only appears after cancellation, fluxes.py:1158-1169),
+    so no ratio guard exists; the standard cure (cf. DISORT dithering) is
+    to nudge u0 away from the eigenvalue where they collide.  Error is
+    O(delta) at the isolated resonant (layer, wavelength) points only.
+    """
+    resonant = jnp.abs(lamda * u0 - 1.0) < delta
+    return jnp.where(resonant, 1.0 / (lamda * (1.0 + delta)), u0)
+
+
 
 @dataclasses.dataclass(frozen=True)
 class ScatteringControls:
@@ -122,15 +161,16 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     else:  # quadrature
         g3 = 0.5 * (1.0 - sq3 * ftau_cld * cosb * u0)
     g4 = 1.0 - g3
-    denominator = lamda ** 2 - 1.0 / u0 ** 2
+    u0b = _dither_u0(lamda, u0)  # beam angle, nudged off the eigenvalue
+    denominator = lamda ** 2 - 1.0 / u0b ** 2
 
-    a_minus = F0PI * w0 * (g4 * (g1 + 1.0 / u0) + g2 * g3) / denominator
-    a_plus = F0PI * w0 * (g3 * (g1 - 1.0 / u0) + g2 * g4) / denominator
+    a_minus = F0PI * w0 * (g4 * (g1 + 1.0 / u0b) + g2 * g3) / denominator
+    a_plus = F0PI * w0 * (g3 * (g1 - 1.0 / u0b) + g2 * g4) / denominator
 
-    x_up = jnp.exp(-tau[:-1] / u0)
+    x_up = jnp.exp(-tau[:-1] / u0b)
     c_minus_up = a_minus * x_up
     c_plus_up = a_plus * x_up
-    x_dn = jnp.exp(-tau[1:] / u0)
+    x_dn = jnp.exp(-tau[1:] / u0b)
     c_minus_down = a_minus * x_dn
     c_plus_down = a_plus * x_dn
 
@@ -161,7 +201,7 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
         exptrm_positive_mid = jnp.exp(0.5 * exptrm)
         exptrm_minus_mid = 1.0 / exptrm_positive_mid
         taumid = tau[:-1] + 0.5 * dtau
-        x_mid = jnp.exp(-taumid / u0)
+        x_mid = jnp.exp(-taumid / u0b)
         c_plus_mid = a_plus * x_mid
         c_minus_mid = a_minus * x_mid
         fm_mid = (gama * positive * exptrm_positive_mid
@@ -202,10 +242,12 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   * jnp.exp(-tau_og[:-1] / u0)
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1)))
+        den_u1 = lamda * u1 - 1.0
         msterm = (A * (1.0 - jnp.exp(-dtau * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1))
-                  + G * (jnp.exp(exptrm - dtau / u1) - 1.0)
-                  / (lamda * u1 - 1.0)
+                  + G * _resonant_ratio(
+                      jnp.exp(exptrm - dtau / u1) - 1.0, den_u1,
+                      (dtau / u1) * (1.0 + 0.5 * dtau * den_u1 / u1))
                   + H * (1.0 - jnp.exp(-exptrm - dtau / u1))
                   / (lamda * u1 + 1.0))
         src = ssterm + msterm
@@ -373,17 +415,23 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
         exptrm_angle = jnp.exp(-dtau / iubar)
         exptrm_angle_mdpt = jnp.exp(-0.5 * dtau / iubar)
 
-        # downward sweep (fluxes.py:1883-1893)
+        # downward sweep (fluxes.py:1883-1893); the K terms have
+        # removable lamda*ubar -> 1 singularities (see _resonant_ratio)
+        den = lamda * iubar - 1.0
+        hdt = dtau / iubar          # lamda*dtau at the resonance
         dn_full = (J / (lamda * iubar + 1.0)
                    * (exptrm_positive - exptrm_angle)
-                   + K / (lamda * iubar - 1.0)
-                   * (exptrm_angle - exptrm_minus)
+                   + K * _resonant_ratio(
+                       exptrm_angle - exptrm_minus, den,
+                       exptrm_minus * hdt * (1.0 + 0.5 * hdt * den))
                    + sigma1 * (1.0 - exptrm_angle)
                    + sigma2 * (iubar * exptrm_angle + dtau - iubar))
         dn_mid = (J / (lamda * iubar + 1.0)
                   * (exptrm_positive_mdpt - exptrm_angle_mdpt)
-                  + K / (-lamda * iubar + 1.0)
-                  * (exptrm_minus_mdpt - exptrm_angle_mdpt)
+                  + K * _resonant_ratio(
+                      exptrm_minus_mdpt - exptrm_angle_mdpt, -den,
+                      exptrm_angle_mdpt * 0.5 * hdt
+                      * (1.0 - 0.25 * hdt * den))
                   + sigma1 * (1.0 - exptrm_angle_mdpt)
                   + sigma2 * (iubar * exptrm_angle_mdpt + 0.5 * dtau - iubar))
 
@@ -401,15 +449,18 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
             [fm_mids, jnp.zeros((1, nwno), dtau.dtype)], 0)
 
         # upward sweep (fluxes.py:1897-1907)
-        up_full = (G / (lamda * iubar - 1.0)
-                   * (exptrm_positive * exptrm_angle - 1.0)
+        up_full = (G * _resonant_ratio(
+                       exptrm_positive * exptrm_angle - 1.0, den,
+                       hdt * (1.0 + 0.5 * hdt * den))
                    + H / (lamda * iubar + 1.0)
                    * (1.0 - exptrm_minus * exptrm_angle)
                    + alpha1 * (1.0 - exptrm_angle)
                    + alpha2 * (iubar - (dtau + iubar) * exptrm_angle))
-        up_mid = (G / (lamda * iubar - 1.0)
-                  * (exptrm_positive * exptrm_angle_mdpt
-                     - exptrm_positive_mdpt)
+        up_mid = (G * _resonant_ratio(
+                      exptrm_positive * exptrm_angle_mdpt
+                      - exptrm_positive_mdpt, den,
+                      exptrm_positive_mdpt * 0.5 * hdt
+                      * (1.0 + 0.25 * hdt * den))
                   - H / (lamda * iubar + 1.0)
                   * (exptrm_minus * exptrm_angle_mdpt - exptrm_minus_mdpt)
                   + alpha1 * (1.0 - exptrm_angle_mdpt)
