@@ -75,6 +75,10 @@ class GridFitter:
         if self.verbose:
             print(f'loaded {len(files)} models from {location}')
 
+    def load_grid_params(self, location, spectra_key='fpfs_thermal'):
+        """Reference-name alias of :meth:`load_grid` (analyze.py:184)."""
+        return self.load_grid(location, spectra_key=spectra_key)
+
     def fit_grid(self, grid_name, data_name, wlgrid_center, y_data, e_data,
                  offset=False):
         """Chi-square fit of every grid member to a dataset

@@ -136,6 +136,17 @@ class Opacity:
         """CK chemistry table (None for monochromatic connections)."""
         return self.ck.full_abunds if self.ck is not None else None
 
+    def preload_opacities(self, molecules=None):
+        """API parity with optics.py:2126: the reference lazily loads
+        sqlite rows per run; here the full grid is already device-resident
+        (HBM) from load_opacity_db, so this validates the request only."""
+        if molecules and self.grid is not None:
+            missing = [m for m in np.atleast_1d(molecules)
+                       if m not in self.grid.molecules]
+            if missing:
+                raise ValueError(f'molecules not in database: {missing}')
+        return self
+
     def compute_stellar_shifts(self, wno_star, flux_star):
         shifts, unshifted = raman_mod.compute_stellar_shifts(
             self.wno, self.raman_db, wno_star, flux_star)
@@ -362,7 +373,14 @@ class inputs:
 
     # -- atmosphere --------------------------------------------------------
     def atmosphere(self, df=None, filename=None, exclude_mol=None,
-                   verbose=True, **pd_kwargs):
+                   verbose=True, photochem_init_args=None,
+                   photochem_TOA_pressure=1e-7 * 1e6, **pd_kwargs):
+        if photochem_init_args is not None:
+            # stored for photochem_init (justdoit.py:2058-2060)
+            photochem_init_args = dict(photochem_init_args)
+            photochem_init_args['TOA_pressure'] = photochem_TOA_pressure
+            self.inputs['atmosphere']['photochem_init_args'] = \
+                photochem_init_args
         if filename is not None:
             df = pd.read_csv(filename, **pd_kwargs)
         if df is None:
@@ -398,6 +416,116 @@ class inputs:
         """Facet-dependent clouds: [nlayer, nwno_cld, ng, nt] arrays."""
         self.inputs['clouds']['profile'] = {'opd': opd, 'g0': g0, 'w0': w0}
         self.inputs['clouds']['wavenumber'] = wavenumber
+
+    @staticmethod
+    def _rotate_lon(data, total_shift_deg, lon_axis):
+        """Roll gridded fields so longitude zero moves by ``total_shift``.
+
+        Equivalent of the reference's split-and-concatenate rotation
+        (justdoit.py:3829-3838): shift the longitude coordinate by
+        ``total_shift``, wrap into [-180, 180), and reorder the data so the
+        stored 'lon' axis stays monotonically increasing.
+        """
+        lon = np.asarray(data['lon'], float)
+        new_zero = (lon + total_shift_deg + 180.0) % 360.0 - 180.0
+        split = int(np.argmin(np.abs(new_zero + 180.0)))
+        out = {}
+        for key, val in data.items():
+            val = np.asarray(val)
+            if key in ('lat', 'lon', 'pressure', 'wavenumber') \
+                    or val.ndim <= 1:
+                out[key] = val
+            else:
+                out[key] = np.concatenate(
+                    [np.take(val, range(split, val.shape[lon_axis]),
+                             axis=lon_axis),
+                     np.take(val, range(split), axis=lon_axis)],
+                    axis=lon_axis)
+        return out
+
+    def atmosphere_4d(self, ds=None, shift=None, plot=False, iz_plot=0,
+                      verbose=True, zero_point='night_transit'):
+        """Phase-dependent GCM rotation (analog of justdoit.py:3666-3873).
+
+        For every phase set by ``phase_curve_geometry`` the GCM longitude
+        grid is rotated by ``phase + shift_i`` degrees (``shift`` defaults
+        to zero — tidally locked) and stored as a per-phase 3D profile
+        list consumed by :meth:`phase_curve`.  ``zero_point`` follows the
+        reference: 'night_transit' adds 180 deg for thermal phase curves
+        (reflected always uses the secondary-eclipse zero point,
+        justdoit.py:3706-3717).  The reference's micro_shift/shift_back
+        bookkeeping (justdoit.py:3770-3821) compensates its in-place
+        longitude-coordinate rewrite; here each phase's disco geometry
+        keeps its own facet longitudes and the regrid happens at spectrum
+        time (three_d.regrid_to_disco), so only the physical rotation is
+        applied.
+        """
+        if ds is None:
+            ds = self.inputs['atmosphere']['profile']
+        if not isinstance(ds, dict) or 'lat' not in ds:
+            raise ValueError("atmosphere_4d needs a 3D GCM dict with "
+                             "'lat'/'lon'/'pressure' + [nlevel,nlon,nlat] "
+                             "fields (see atmosphere_3d)")
+        phases = np.atleast_1d(self.inputs['phase_angle'])
+        if shift is None:
+            shift = np.zeros(len(phases))
+        shift = np.asarray(shift, float)
+        if len(shift) != len(phases):
+            raise ValueError('shift must have one entry per phase')
+        calculation = self.inputs.get('disco_calculation', 'thermal')
+        if zero_point == 'night_transit':
+            if 'reflected' in calculation:
+                if verbose:
+                    print('Switching to zero point secondary_eclipse '
+                          'which is required for reflected light')
+            else:
+                shift = shift + 180.0
+        elif zero_point != 'secondary_eclipse':
+            raise ValueError('zero_point must be night_transit or '
+                             'secondary_eclipse')
+        self.inputs['shift'] = shift
+        profiles = []
+        for i, iphase in enumerate(phases):
+            total = (np.degrees(float(iphase)) + shift[i]) % 360.0
+            profiles.append(self._rotate_lon(ds, total, lon_axis=1))
+        self.inputs['atmosphere']['profile'] = profiles
+        self.nlevel = len(np.asarray(ds['pressure']))
+        if plot:  # pragma: no cover - convenience visual check
+            from . import justplotit
+            justplotit.map_4d(profiles, phases, iz_plot=iz_plot)
+        return profiles
+
+    def clouds_4d(self, ds=None, plot=False, iz_plot=0, iw_plot=0,
+                  verbose=True, calculation='reflected'):
+        """Phase-dependent cloud rotation + facet regrid (justdoit.py:3875).
+
+        ``ds``: dict with 'lat'/'lon' (deg), 'wavenumber' [nwno_cld] and
+        'opd'/'g0'/'w0' arrays [nlayer, nwno_cld, nlon, nlat].  Uses the
+        shifts recorded by :meth:`atmosphere_4d` and each phase's disco
+        geometry; stores a per-phase list of facet cloud dicts
+        ([nlayer, nwno_cld, ng, nt]) for :meth:`phase_curve`.
+        """
+        from .three_d import regrid_to_disco
+        if ds is None:
+            ds = self.inputs['clouds'].get('profile')
+        if not isinstance(ds, dict) or 'lat' not in ds:
+            raise ValueError("clouds_4d needs a dict with 'lat'/'lon' and "
+                             "[nlayer,nwno,nlon,nlat] opd/g0/w0 fields")
+        phases = np.atleast_1d(self.inputs['phase_angle'])
+        shift = np.asarray(self.inputs.get('shift',
+                                           np.zeros(len(phases))), float)
+        geoms = self.inputs['disco']
+        per_phase = []
+        for i, iphase in enumerate(phases):
+            total = (np.degrees(float(iphase)) + shift[i]) % 360.0
+            rot = self._rotate_lon(ds, total, lon_axis=2)
+            faceted = regrid_to_disco(
+                {k: rot[k] for k in ('lat', 'lon', 'opd', 'g0', 'w0')},
+                geoms[float(iphase)], field_lon_axis=2)
+            per_phase.append({k: faceted[k] for k in ('opd', 'g0', 'w0')})
+        self.inputs['clouds']['profile'] = per_phase
+        self.inputs['clouds']['wavenumber'] = np.asarray(ds['wavenumber'])
+        return per_phase
 
     def sonora(self, sonora_path, teff, chem='low'):
         """Nearest Sonora Bobcat PT + chemistry (justdoit.py:2759)."""
@@ -501,6 +629,29 @@ class inputs:
         return self.premix_atmosphere(opa=opa,
                                       quench_levels=quench_levels,
                                       **kwargs)
+
+    def photochem_init(self):
+        """Initialize the photochem kinetics wrapper from the args stored
+        by atmosphere(photochem_init_args=...) (justdoit.py:4933-4951);
+        gated on the optional photochem package."""
+        args = self.inputs['atmosphere'].get('photochem_init_args')
+        if args is None:
+            raise ValueError('pass photochem_init_args to atmosphere() '
+                             'before photochem_init()')
+        mass = self.inputs['planet']['mass']
+        radius = self.inputs['planet']['radius']
+        if np.isnan(mass) or np.isnan(radius):
+            raise ValueError('photochem needs mass and radius via '
+                             'gravity(mass=..., radius=...)')
+        args = dict(args)
+        toa_pressure = args.pop('TOA_pressure')
+        args['planet_mass'] = mass
+        args['planet_radius'] = radius
+        from .photochem import EvoAtmosphereGasGiantPicaso
+        pc = EvoAtmosphereGasGiantPicaso(**args)
+        pc.gdat.TOA_pressure_avg = toa_pressure
+        self.inputs['climate']['pc'] = pc
+        return pc
 
     # -- clouds ------------------------------------------------------------
     def clouds_reset(self):

@@ -295,6 +295,26 @@ def map(full_output_or_xint, wno=None, wno_index=0, pressure=None,
                   title='disk map')
 
 
+def map_4d(profiles, phases, field='temperature', iz_plot=0):
+    """Per-phase lat/lon maps of a rotated 4D profile list (the
+    auto-plot of the reference's atmosphere_4d, justdoit.py:3867-3869)."""
+    import matplotlib.pyplot as plt
+    n = len(profiles)
+    ncols = min(4, n)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.2 * ncols,
+                                                    2.6 * nrows))
+    axes = np.atleast_1d(axes).ravel()
+    for ax, prof, ph in zip(axes, profiles, np.atleast_1d(phases)):
+        ax.pcolormesh(np.asarray(prof['lon']), np.asarray(prof['lat']),
+                      np.asarray(prof[field])[iz_plot].T, shading='auto')
+        ax.set_title(f'phase {np.degrees(float(ph)):.0f} deg')
+    for ax in axes[n:]:
+        ax.set_visible(False)
+    fig.tight_layout()
+    return fig
+
+
 def spectrum_hires(wno, alb_or_flux, ax=None, **kw):
     """Unbinned high-resolution spectrum (justplotit.py spectrum_hires)."""
     return spectrum(wno, alb_or_flux, R=None, ax=ax, **kw)

@@ -13,8 +13,9 @@ import textwrap
 
 import numpy as np
 
-__all__ = ['create_template', 'get_info', 'plot_pair', 'spread_plot',
-           'data_output', 'summary']
+__all__ = ['create_template', 'get_info', 'get_evaluations',
+           'get_chisq_max', 'plot_pair', 'spread_plot', 'data_output',
+           'summary']
 
 _TEMPLATES = {
     'free': '''\
@@ -197,3 +198,106 @@ def data_output(result, filename):
              logz=result.get('logz', np.nan),
              names=[p['path'] for p in result.get('fitpars', [])])
     return filename
+
+
+def get_evaluations(samples_equal, max_logl, model, n_draws, regrid=False,
+                    pressure_bands=('temperature', 'H2O', 'CO2'),
+                    rng_seed=0):
+    """Max-logL model + 1/2/3-sigma posterior bands (retrieval.py:199-311).
+
+    ``model(theta)`` returns ``(wno, y, offsets, err_inflation)``; with
+    ``return_ptchem=True`` it returns the inputs class (or dict of them)
+    so per-draw chemistry/temperature bands can be extracted.  Bands are
+    straight numpy quantiles over ``n_draws`` posterior draws (the
+    reference uses ultranest's PredictionBand — same math).  ``regrid``:
+    False, a wavenumber grid (ndarray), or a resolution (float).
+    """
+    from .wavelength import mean_regrid
+    pressure_bands = list(pressure_bands)
+    returns = {}
+    if pressure_bands:
+        cls = model(max_logl, return_ptchem=True)
+        if isinstance(cls, dict):
+            cls = cls[list(cls.keys())[0]]
+        df = cls.inputs['atmosphere']['profile']
+        returns['max_logl_ptchem'] = df
+
+    rng = np.random.default_rng(rng_seed)
+    draws = rng.integers(0, np.asarray(samples_equal).shape[0],
+                         size=n_draws)
+    spectra, chems = [], {i: [] for i in pressure_bands}
+    binning = False
+    um_xgrid = None
+    for idraw in draws:
+        x, y, _, _ = model(samples_equal[idraw, :])
+        if isinstance(regrid, np.ndarray):
+            _, y = mean_regrid(x, y, newx=regrid)
+            binning, um_xgrid = True, 1e4 / regrid
+        elif isinstance(regrid, float):
+            wno_x, y = mean_regrid(x, y, R=regrid)
+            binning, um_xgrid = True, 1e4 / wno_x
+        else:
+            um_xgrid = 1e4 / x
+        spectra.append(np.asarray(y))
+        if pressure_bands:
+            cls = model(samples_equal[idraw, :], return_ptchem=True)
+            if isinstance(cls, dict):
+                cls = cls[list(cls.keys())[0]]
+            chem = cls.inputs['atmosphere']['profile']
+            for i in pressure_bands:
+                chems[i].append(np.asarray(chem[i]))
+
+    spectra = np.stack(spectra)
+    returns['bands_spectra'] = {}
+    if pressure_bands:
+        returns['bands_ptchem'] = {i: {} for i in pressure_bands}
+    for frac, key in zip([68.27, 95.45, 99.73], ['1sig', '2sig', '3sig']):
+        q = frac / 100.0 / 2.0
+        for suff, quant in (('_lo', 0.5 - q), ('_hi', 0.5 + q)):
+            returns['bands_spectra'][key + suff] = np.quantile(
+                spectra, quant, axis=0)
+            for i in pressure_bands:
+                returns['bands_ptchem'][i][key + suff] = np.quantile(
+                    np.stack(chems[i]), quant, axis=0)
+    returns['bands_spectra']['median'] = np.quantile(spectra, 0.5, axis=0)
+    for i in pressure_bands:
+        returns['bands_ptchem'][i]['median'] = np.quantile(
+            np.stack(chems[i]), 0.5, axis=0)
+
+    maxx, maxy, offsets, err = model(max_logl)
+    if binning:
+        _, maxy = mean_regrid(maxx, maxy, newx=1e4 / um_xgrid)
+    returns['max_logl_spectra'] = maxy
+    returns['max_logl_error_inflation'] = err
+    returns['max_logl_offsets'] = offsets
+    if pressure_bands:
+        returns['pressure'] = np.asarray(df['pressure'])
+    returns['wavelength'] = um_xgrid
+    return returns
+
+
+def get_chisq_max(at_evaluations, data_dict):
+    """Chi-squared of the max-logL spectrum vs each dataset
+    (retrieval.py:313-368), including per-dataset offsets."""
+    from .wavelength import mean_regrid
+    from .analyze import chi_squared
+    offsets = at_evaluations['max_logl_offsets'] or {}
+    resultx = 1e4 / np.asarray(at_evaluations['wavelength'])
+    resulty = np.asarray(at_evaluations['max_logl_spectra'])
+    xs, ymod, ydat, edat = [], [], [], []
+    for idata in data_dict.keys():
+        off = offsets.get(idata, 0) if isinstance(offsets, dict) else 0
+        x_chunk, y_chunk = mean_regrid(resultx, resulty,
+                                       newx=data_dict[idata][0])
+        xs.append(x_chunk)
+        ymod.append(y_chunk)
+        ydat.append(np.asarray(data_dict[idata][1]) + off)
+        edat.append(np.asarray(data_dict[idata][2]))
+    order = np.argsort(np.concatenate(xs))
+    x = np.concatenate(xs)[order]
+    m = np.concatenate(ymod)[order]
+    d = np.concatenate(ydat)[order]
+    e = np.concatenate(edat)[order]
+    chisq = chi_squared(d, e, m) / len(d)
+    return {'wavenumber': x, 'model': m, 'datay': d, 'datae': e,
+            'chisq_per_datapt': chisq}

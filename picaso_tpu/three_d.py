@@ -32,10 +32,13 @@ from .rt import toon
 __all__ = ['regrid_to_disco', 'picaso_3d']
 
 
-def regrid_to_disco(data, geometry: disco_mod.Geometry):
+def regrid_to_disco(data, geometry: disco_mod.Geometry, field_lon_axis=1):
     """Select GCM columns at the facet lat/lon (nearest neighbour).
 
-    Returns dict of [nlevel, ng, nt] arrays (plus 1D 'pressure').
+    ``field_lon_axis`` is the longitude axis of the gridded fields (1 for
+    [nlevel, nlon, nlat] atmospheres; 2 for [nlayer, nwno, nlon, nlat]
+    clouds); latitude is the next axis.  Returns dict of [..., ng, nt]
+    arrays (plus untouched 1D vectors such as 'pressure').
     """
     lat_deg = np.degrees(geometry.latitude)
     lon_deg = np.degrees(geometry.longitude)
@@ -48,11 +51,12 @@ def regrid_to_disco(data, geometry: disco_mod.Geometry):
         if key in ('lat', 'lon'):
             continue
         val = np.asarray(val)
-        if val.ndim == 1:
+        if val.ndim <= field_lon_axis:
             out[key] = val
         else:
-            # [nlevel, nlon, nlat] -> [nlevel, ng, nt]
-            out[key] = val[:, ilon][:, :, ilat]
+            # [..., nlon, nlat] -> [..., ng, nt]
+            sel = np.take(val, ilon, axis=field_lon_axis)
+            out[key] = np.take(sel, ilat, axis=field_lon_axis + 1)
     return out
 
 

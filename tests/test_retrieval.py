@@ -222,3 +222,39 @@ def test_gridtrieval_multilinear():
                          verbose=False)
     with pytest.raises(ValueError):
         fitter2.prep_gridtrieval(['teff', 'mh'])
+
+
+def test_get_evaluations_bands():
+    """Posterior bands + max-logL chi-square (retrieval.py:199-368)."""
+    import pandas as pd
+    from picaso_tpu import retrieval
+
+    wno = np.linspace(1000, 2000, 30)
+
+    class Toy:
+        def __init__(self, t):
+            self.inputs = {'atmosphere': {'profile': pd.DataFrame({
+                'pressure': np.logspace(-4, 2, 10),
+                'temperature': np.full(10, 500.0 + t[0]),
+                'H2O': np.full(10, 1e-3),
+                'CO2': np.full(10, 1e-6)})}}
+
+    def model(theta, return_ptchem=False):
+        if return_ptchem:
+            return Toy(theta)
+        return wno, np.full(30, 1.0 + theta[0]), {}, 0.0
+
+    samples = np.random.default_rng(0).normal(0, 0.1, (200, 1))
+    best = samples[np.argmax(samples[:, 0])]
+    ev = retrieval.get_evaluations(samples, best, model, 25)
+    bs = ev['bands_spectra']
+    assert bs['1sig_lo'].shape == (30,)
+    assert (bs['1sig_lo'] <= bs['median']).all()
+    assert (bs['median'] <= bs['1sig_hi']).all()
+    assert (bs['1sig_hi'] <= bs['3sig_hi']).all()
+    assert ev['bands_ptchem']['temperature']['median'].shape == (10,)
+    assert ev['max_logl_spectra'].max() > bs['median'].mean()
+    chis = retrieval.get_chisq_max(
+        ev, {'d1': (np.linspace(1100, 1900, 12),
+                    np.full(12, 1.0), np.full(12, 0.1))})
+    assert np.isfinite(chis['chisq_per_datapt'])

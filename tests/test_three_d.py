@@ -102,3 +102,64 @@ def test_thermal_phase_curve(setup):
     assert len(allout) == 3
     fluxes = {ph: out['thermal'].mean() for ph, out in allout.items()}
     assert all(np.isfinite(v) for v in fluxes.values())
+
+
+def test_atmosphere_4d_rotation():
+    """atmosphere_4d rolls the hotspot by phase+shift (justdoit.py:3666)."""
+    case = jdi.inputs(calculation='browndwarf')
+    case.phase_angle(phase_grid=np.array([0.0, np.pi]),
+                     num_gangle=6, num_tangle=4, calculation='thermal')
+    data = _gcm()
+    profiles = case.atmosphere_4d(data, shift=np.zeros(2), verbose=False,
+                                  zero_point='secondary_eclipse')
+    assert len(profiles) == 2
+    # phase 0, zero shift: unrotated
+    assert np.allclose(profiles[0]['temperature'], data['temperature'])
+    # phase pi: hotspot (max T at fixed level) moves ~180 deg in lon
+    lon = data['lon']
+    t0 = profiles[0]['temperature'][0, :, 3]
+    t1 = profiles[1]['temperature'][0, :, 3]
+    i0, i1 = np.argmax(t0), np.argmax(t1)
+    dlon = abs((lon[i1] - lon[i0] + 180) % 360 - 180)
+    assert abs(dlon - 180) <= 2 * abs(lon[1] - lon[0])
+    # night_transit zero point adds another 180 for thermal
+    prof_nt = case.atmosphere_4d(data, verbose=False,
+                                 zero_point='night_transit')
+    assert np.allclose(prof_nt[0]['temperature'],
+                       profiles[1]['temperature'])
+
+
+def test_clouds_4d_facets():
+    case = jdi.inputs(calculation='browndwarf')
+    case.phase_angle(phase_grid=np.array([0.0, np.pi / 2]),
+                     num_gangle=6, num_tangle=4, calculation='thermal')
+    data = _gcm(nlevel=25)
+    case.atmosphere_4d(data, verbose=False, zero_point='secondary_eclipse')
+    nlayer, nwno_cld = 24, 10
+    rng = np.random.default_rng(0)
+    cld = {'lat': data['lat'], 'lon': data['lon'],
+           'wavenumber': np.linspace(1e4 / 2, 1e4 / 0.3, nwno_cld),
+           'opd': rng.uniform(0, 1, (nlayer, nwno_cld, 12, 8)),
+           'g0': np.full((nlayer, nwno_cld, 12, 8), 0.8),
+           'w0': np.full((nlayer, nwno_cld, 12, 8), 0.9)}
+    per_phase = case.clouds_4d(cld, verbose=False)
+    assert len(per_phase) == 2
+    for d in per_phase:
+        assert d['opd'].shape == (nlayer, nwno_cld, 6, 4)
+        assert np.isfinite(d['opd']).all()
+
+
+def test_phase_curve_4d(setup):
+    """Full 4D path: rotated profiles through phase_curve (hot spot moves
+    in and out of view -> non-flat thermal curve)."""
+    opa = setup
+    case = jdi.inputs(calculation='browndwarf')
+    case.gravity(gravity=100, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.phase_angle(phase_grid=np.array([0.0, np.pi]),
+                     num_gangle=6, num_tangle=4, calculation='thermal')
+    case.atmosphere_4d(_gcm(), verbose=False,
+                       zero_point='secondary_eclipse')
+    allout = case.phase_curve(opa, verbose=False)
+    vals = [out['thermal'].mean() for out in allout.values()]
+    assert all(np.isfinite(v) for v in vals)
+    assert abs(vals[0] - vals[1]) / vals[0] > 1e-3
