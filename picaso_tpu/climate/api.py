@@ -144,6 +144,7 @@ class _ClimateState:
             opacityclass.relative_flux if opacityclass.relative_flux
             is not None else np.ones(len(self.ck.wno)))
         self.all_profiles = []
+        self.runlog = None   # optional profiling.RunLog (SURVEY §5)
 
         # --- static + traced state for the fused single-dispatch path ---
         from .. import molmass
@@ -410,6 +411,11 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
         temp_old = temp.copy()
         if state.verbose:
             print(f' profile it {iii}: mean|dT| {ert:.3f} K (conv {convt})')
+        if state.runlog is not None:
+            state.runlog.log('climate_iteration', it=iii, mean_dT=ert,
+                             convt=convt, nstr=list(map(int, nstr)),
+                             newton_converged=int(converged),
+                             temperature=temp)
         result = (np.asarray(dtdp), np.asarray(fnil), np.asarray(fnvl),
                   np.asarray(fpit))
         if iii > 0 and ert < convt:
@@ -542,7 +548,8 @@ def inputs_climate(case, temp_guess=None, pressure=None, rfaci=1,
 
 
 def run_climate(case, opacityclass, save_all_profiles=False,
-                with_spec=False, diseq_chem=False, verbose=True, **kwargs):
+                with_spec=False, diseq_chem=False, verbose=True,
+                runlog=None, **kwargs):
     """Top-level climate solve (port of justdoit.climate, :4982-5281).
 
     Workflows: chemical equilibrium (fully fused, one dispatch per profile
@@ -593,6 +600,7 @@ def run_climate(case, opacityclass, save_all_profiles=False,
                           tmax, moist=case.inputs['climate'].get(
                               'moistgrad', False), verbose=verbose)
     state.diseq = bool(diseq_chem)
+    state.runlog = runlog
     state.self_consistent_kzz = kwargs.get('self_consistent_kzz', True)
     virga_kwargs = case.inputs['climate'].get('virga_kwargs', {})
     state.cloudy = bool(case.inputs['climate'].get('cloudy', False)
