@@ -97,11 +97,15 @@ class OpacityGrid(NamedTuple):
 
 def load_opacity_db(db_filename, wave_range=None, resample=1,
                     molecules: Optional[Sequence[str]] = None,
-                    dtype=np.float32):
+                    dtype=np.float32, native=True):
     """Load a reference-format sqlite opacity DB into an OpacityGrid.
 
     Parameters mirror ``opannection`` (justdoit.py:1296): ``wave_range`` in
     micron, ``resample`` a stride through the native wavenumber grid.
+    ``native=True`` uses the C++ fast loader (picaso_tpu.native) for the
+    BLOB decode — multithreaded over molecules with the window/log10 fused
+    in — falling back to this module's Python path when the toolchain or
+    libsqlite3 is unavailable.
     """
     cur, conn = connect(db_filename)
 
@@ -139,24 +143,38 @@ def load_opacity_db(db_filename, wave_range=None, resample=1,
 
     npt = len(pt_pairs)
     nmol = len(avail_mol)
-    log_kappa = np.full((nmol, npt, len(wno)), -50.0, dtype=dtype)
 
-    for im, mol in enumerate(avail_mol):
-        cur.execute('SELECT ptid, opacity FROM molecular WHERE molecule = ?',
-                    (mol,))
-        for ptid, op in cur.fetchall():
-            arr = op[::resample][loc]
-            log_kappa[im, ptid - 1] = np.log10(
-                np.where(arr != 0, arr, 1e-50)).astype(dtype)
+    log_kappa = cont = None
+    if native and dtype == np.float32:
+        from .. import native as native_mod
+        try:
+            log_kappa = native_mod.load_molecular(
+                db_filename, avail_mol, npt, loc, resample)
+            if log_kappa is not None:
+                cont = native_mod.load_continuum(
+                    db_filename, avail_continuum, cia_temps, loc, resample)
+        except (RuntimeError, OSError):
+            log_kappa = cont = None   # schema/blob mismatch: Python path
 
-    cont = np.zeros((len(avail_continuum), len(cia_temps), len(wno)),
-                    dtype=dtype)
-    for im, mol in enumerate(avail_continuum):
-        cur.execute('SELECT temperature, opacity FROM continuum '
-                    'WHERE molecule = ?', (mol,))
-        for t, op in cur.fetchall():
-            it = int(np.searchsorted(cia_temps, t))
-            cont[im, it] = op[::resample][loc].astype(dtype)
+    if log_kappa is None:
+        log_kappa = np.full((nmol, npt, len(wno)), -50.0, dtype=dtype)
+        for im, mol in enumerate(avail_mol):
+            cur.execute('SELECT ptid, opacity FROM molecular '
+                        'WHERE molecule = ?', (mol,))
+            for ptid, op in cur.fetchall():
+                arr = op[::resample][loc]
+                log_kappa[im, ptid - 1] = np.log10(
+                    np.where(arr != 0, arr, 1e-50)).astype(dtype)
+
+    if cont is None:
+        cont = np.zeros((len(avail_continuum), len(cia_temps), len(wno)),
+                        dtype=dtype)
+        for im, mol in enumerate(avail_continuum):
+            cur.execute('SELECT temperature, opacity FROM continuum '
+                        'WHERE molecule = ?', (mol,))
+            for t, op in cur.fetchall():
+                it = int(np.searchsorted(cia_temps, t))
+                cont[im, it] = op[::resample][loc].astype(dtype)
 
     conn.close()
 
