@@ -177,3 +177,25 @@ def test_tp_line_earth():
     # stratosphere warms upward (negative lapse rate)
     i_strat = np.argmin(np.abs(P - 0.01))
     assert T[i_strat] > T[i_trop]
+
+
+def test_data_catalog():
+    """Data-fetch catalog lists the reference's artifact families
+    (data.py:71-265) without requiring network access."""
+    from picaso_tpu import data
+    cat = data.data_catalog()
+    keys = ' '.join(cat.keys()).lower()
+    for fam in ('opacit', 'stellar', 'virga', 'sonora'):
+        assert fam in keys, f'missing {fam} family in catalog'
+    env = data.check_environ(verbose=False)
+    assert isinstance(env, (bool, str, dict, list, type(None)))
+
+
+def test_photochem_gate():
+    """Optional photochem dependency is cleanly gated (photochem.py)."""
+    from picaso_tpu import photochem
+    assert photochem.photochem_available() in (True, False)
+    if not photochem.photochem_available():
+        import pytest
+        with pytest.raises(ImportError):
+            photochem.EvoAtmosphereGasGiantPicaso()
