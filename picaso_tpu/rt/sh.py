@@ -23,11 +23,24 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import PI
-from .toon import ScatteringControls, blackbody
+from .toon import ScatteringControls, blackbody, _dither_u0
 
 __all__ = ['block_tridiag_solve', 'reflected_sh', 'thermal_sh', 'legP']
 
 _CLIP = 35.0
+# Thin-layer mode-separation floor, f32 only: at lam*dtau -> 0 the
+# growing/decaying exponential modes degenerate and the block-Thomas
+# elimination suffers ~1e6 element growth — tolerable in the reference's
+# float64 scipy solve (fluxes.py:3610-3628) and in our f64 CPU path, fatal
+# at f32 on TPU.  Flooring the exponent at 1e-2 bounds the growth while
+# perturbing the affected (optically near-invisible) layers by O(1e-2);
+# f64 keeps the exact exponent so conservative-scattering physics
+# (lam -> 0 diffusion mode) is untouched where precision allows it.
+_THIN32 = 1e-2
+
+
+def _thin_floor(dtype):
+    return _THIN32 if dtype == jnp.float32 else 0.0
 
 
 def legP(mu, nmax=4):
@@ -41,12 +54,29 @@ def _clip(x):
     return jnp.clip(x, -_CLIP, _CLIP)
 
 
-def block_tridiag_solve(A, B, C, D):
+def _scaled_bet(exptrm_lam, trans_u1, beta, dtau, eps=1e-4):
+    """Growing-mode source integral with the per-layer scaling applied.
+
+    The unscaled form (1 - e^{-beta*dtau})/beta * X2 (fluxes.py:2930-2940,
+    beta = 1/u1 - lam) overflows when lam*dtau > ~35; with the scaled
+    coefficient X2' = X2/e^{-lam*dtau} it becomes
+    (e^{-lam*dtau} - e^{-dtau/u1})/beta — two decaying exponentials and a
+    removable beta -> 0 singularity (limit dtau*e^{-lam*dtau})."""
+    num = exptrm_lam - trans_u1
+    limit = dtau * exptrm_lam * (1.0 - 0.5 * beta * dtau)
+    safe = jnp.where(jnp.abs(beta) < eps, 1.0, beta)
+    return jnp.where(jnp.abs(beta) < eps, limit, num / safe)
+
+
+def block_tridiag_solve(A, B, C, D, refine=1):
     """Solve the block-tridiagonal system with s x s blocks.
 
     A, B, C: [n, s, s, nwno] (A[0] and C[-1] ignored); D: [n, s, nwno].
     Block-Thomas forward elimination + back substitution; the s x s solves
-    batch over the wavelength axis via jnp.linalg.solve.
+    batch over the wavelength axis via jnp.linalg.solve.  ``refine`` steps
+    of iterative refinement (residual re-solve through the same sweep)
+    recover the accuracy the unpivoted block recursion loses in f32 — the
+    reference leans on float64 scipy here (fluxes.py:3610-3628).
     Returns y [n, s, nwno].
     """
     # reorder to [n, nwno, s, s] for batched small solves
@@ -63,21 +93,37 @@ def block_tridiag_solve(A, B, C, D):
         Dp = jnp.linalg.solve(denom, Dk - Ak @ Dp_prev)
         return (Cp, Dp), (Cp, Dp)
 
-    Cp0 = jnp.linalg.solve(B[0], C[0])
-    Dp0 = jnp.linalg.solve(B[0], D[0])
-    (_, _), (Cp_rest, Dp_rest) = jax.lax.scan(
-        fwd, (Cp0, Dp0), (A[1:], B[1:], C[1:], D[1:]))
-    Cp = jnp.concatenate([Cp0[None], Cp_rest], axis=0)
-    Dp = jnp.concatenate([Dp0[None], Dp_rest], axis=0)
-
     def back(y_next, row):
         Cp_k, Dp_k = row
         y_k = Dp_k - Cp_k @ y_next
         return y_k, y_k
 
-    y_last = Dp[-1]
-    _, ys = jax.lax.scan(back, y_last, (Cp[:-1], Dp[:-1]), reverse=True)
-    y = jnp.concatenate([ys, y_last[None]], axis=0)   # [n, nwno, s, 1]
+    def solve_rhs(Dv):
+        Cp0 = jnp.linalg.solve(B[0], C[0])
+        Dp0 = jnp.linalg.solve(B[0], Dv[0])
+        (_, _), (Cp_rest, Dp_rest) = jax.lax.scan(
+            fwd, (Cp0, Dp0), (A[1:], B[1:], C[1:], Dv[1:]))
+        Cp = jnp.concatenate([Cp0[None], Cp_rest], axis=0)
+        Dp = jnp.concatenate([Dp0[None], Dp_rest], axis=0)
+        y_last = Dp[-1]
+        _, ys = jax.lax.scan(back, y_last, (Cp[:-1], Dp[:-1]),
+                             reverse=True)
+        return jnp.concatenate([ys, y_last[None]], axis=0)  # [n,nw,s,1]
+
+    def matvec(y):
+        mid = B @ y
+        lo = jnp.concatenate([jnp.zeros_like(y[:1]),
+                              A[1:] @ y[:-1]], axis=0)
+        hi = jnp.concatenate([C[:-1] @ y[1:],
+                              jnp.zeros_like(y[:1])], axis=0)
+        return mid + lo + hi
+
+    # TPU matmuls default to bf16 inputs — fatal for the elimination's
+    # s x s products; force full f32 within the solver
+    with jax.default_matmul_precision('highest'):
+        y = solve_rhs(D)
+        for _ in range(refine):
+            y = y + solve_rhs(D - matvec(y))
     return jnp.moveaxis(y[..., 0], 1, -1)             # [n, s, nwno]
 
 
@@ -88,27 +134,34 @@ def block_tridiag_solve(A, B, C, D):
 def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
                 calculation, b0=None, b1=None):
     nlayer, nwno = dtau.shape
+    lam = jnp.sqrt(a[0] * a[1])
     if calculation == 0:
-        Del = (1.0 / ubar0) ** 2 - a[0] * a[1]
-        eta = jnp.stack([(b[1] / ubar0 - a[1] * b[0]) / Del,
-                         (b[0] / ubar0 - a[0] * b[1]) / Del])
+        # beam resonance lam*u0 -> 1 (Del -> 0): the eta particular
+        # solution diverges non-removably (fluxes.py:3243-3247 is
+        # unguarded f64); dither u0 elementwise off the eigenvalue like
+        # the Toon path (toon._dither_u0) and use the dithered angle
+        # consistently in Del, eta, and the exp(-tau/u0) attenuation.
+        u0b = _dither_u0(lam, ubar0)
+        Del = (1.0 / u0b) ** 2 - a[0] * a[1]
+        eta = jnp.stack([(b[1] / u0b - a[1] * b[0]) / Del,
+                         (b[0] / u0b - a[0] * b[1]) / Del])
     else:
+        u0b = jnp.full_like(dtau, 1.0)
         eta = jnp.zeros((2, nlayer, nwno), dtau.dtype)
 
-    lam = jnp.sqrt(a[0] * a[1])
-    exptrm = jnp.exp(-_clip(lam * dtau))
+    exptrm = jnp.exp(-jnp.clip(lam * dtau, _thin_floor(dtau.dtype), _CLIP))
     q = lam / a[1]
     Q1 = (0.5 + q) * 2 * PI
     Q2 = (0.5 - q) * 2 * PI
     Q1mn, Q2mn = Q1 * exptrm, Q2 * exptrm
-    Q1pl, Q2pl = Q1 / exptrm, Q2 / exptrm
 
     if calculation == 0:
         zmn = (0.5 * eta[0] - eta[1]) * 2 * PI
         zpl = (0.5 * eta[0] + eta[1]) * 2 * PI
-        expon = jnp.exp(-tau / ubar0)
-        zmn_up, zpl_up = zmn * expon[1:], zpl * expon[1:]
-        zmn_down, zpl_down = zmn * expon[:-1], zpl * expon[:-1]
+        zmn_up, zpl_up = (zmn * jnp.exp(-tau[1:] / u0b),
+                          zpl * jnp.exp(-tau[1:] / u0b))
+        zmn_down, zpl_down = (zmn * jnp.exp(-tau[:-1] / u0b),
+                              zpl * jnp.exp(-tau[:-1] / u0b))
     else:
         pref = (1 - w0) / a[0] * 2 * PI
         zmn_down = pref * (b0 / 2 - b1 / a[1])
@@ -116,20 +169,27 @@ def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
         zpl_down = pref * (b0 / 2 + b1 / a[1])
         zpl_up = pref * (b0 / 2 + b1 / a[1] + b1 * dtau / 2)
 
-    # per-layer top (T) and bottom (f) matrices; rows: [mn-rows, pl-rows]
+    # per-layer top (T) and bottom (f) matrices; rows: [mn-rows, pl-rows].
+    # The growing-mode coefficient is SCALED per layer (X2' = X2/exptrm,
+    # i.e. the exp(+lam*t) mode is measured from the layer bottom): the
+    # reference's unscaled system (fluxes.py:3260-3276) carries
+    # exp(+lam*dtau) entries spanning e^{+-35}, which is fine in its
+    # float64 numpy but destroys the f32 block elimination on TPU.  With
+    # the scaling every matrix entry is O(Q), and consumers multiply the
+    # solved X2' by bounded decaying exponentials only.
     def rows(m00, m01, m10, m11):
         return jnp.stack([jnp.stack([m00, m01], 1),
                           jnp.stack([m10, m11], 1)], 1)  # [n, 2, 2, nw]
 
-    T = rows(Q1, Q2, Q2, Q1)
-    Fm = rows(Q1mn, Q2pl, Q2mn, Q1pl)
+    T = rows(Q1, Q2mn, Q2, Q1mn)
+    Fm = rows(Q1mn, Q2, Q2mn, Q1)
     z_down = jnp.stack([zmn_down, zpl_down], 1)  # [n, 2, nw]
     z_up = jnp.stack([zmn_up, zpl_up], 1)
     b_top_vec = jnp.stack([jnp.broadcast_to(b_top, (nwno,))], 0)
     b_surf_vec = jnp.stack([b_surface], 0)
 
     aux = dict(lam=lam, q=q, eta=eta, Q1=Q1, Q2=Q2,
-               zpl_up=zpl_up, exptrm=exptrm)
+               zpl_up=zpl_up, exptrm=exptrm, u0b=u0b)
     return T, Fm, z_down, z_up, b_top_vec, b_surf_vec, aux
 
 
@@ -147,7 +207,9 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
     lam2 = jnp.sqrt((beta - root) / 2)
 
     if calculation == 0:
-        u0i = 1.0 / ubar0
+        # dither off BOTH eigenvalue resonances (see _sh2_system)
+        u0b = _dither_u0(lam2, _dither_u0(lam1, ubar0))
+        u0i = 1.0 / u0b
         Del = 9 * (u0i ** 4 - beta * u0i ** 2 + gama)
         Dels0 = ((a[1] * b[0] - b[1] * u0i) * (a[2] * a[3] - 9 * u0i ** 2)
                  + 2 * (a[3] * b[2] - 2 * a[3] * b[0] - 3 * b[3] * u0i)
@@ -168,8 +230,9 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
     else:
         eta = jnp.zeros((4, nlayer, nwno), dtau.dtype)
 
-    exptrm1 = jnp.exp(-_clip(lam1 * dtau))
-    exptrm2 = jnp.exp(-_clip(lam2 * dtau))
+    thin = _thin_floor(dtau.dtype)
+    exptrm1 = jnp.exp(-jnp.clip(lam1 * dtau, thin, _CLIP))
+    exptrm2 = jnp.exp(-jnp.clip(lam2 * dtau, thin, _CLIP))
 
     R1, R2 = -a[0] / lam1, -a[0] / lam2
     Q1 = 0.5 * (a[0] * a[1] / lam1 ** 2 - 1)
@@ -186,22 +249,26 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
     q1mn = (-0.125 + 5 * Q1 / 8 - S1) * 2 * PI
     q2mn = (-0.125 + 5 * Q2 / 8 - S2) * 2 * PI
 
-    f00, f01, f02, f03 = (p1mn * exptrm1, p1pl / exptrm1,
-                          p2mn * exptrm2, p2pl / exptrm2)
-    f10, f11, f12, f13 = (q1mn * exptrm1, q1pl / exptrm1,
-                          q2mn * exptrm2, q2pl / exptrm2)
-    f20, f21, f22, f23 = (p1pl * exptrm1, p1mn / exptrm1,
-                          p2pl * exptrm2, p2mn / exptrm2)
-    f30, f31, f32, f33 = (q1pl * exptrm1, q1mn / exptrm1,
-                          q2pl * exptrm2, q2mn / exptrm2)
+    # growing modes scaled per layer (X2' = X2/exptrm1, X4' = X4/exptrm2;
+    # see the _sh2_system comment): every entry stays O(p, q)
+    f00, f01, f02, f03 = (p1mn * exptrm1, p1pl,
+                          p2mn * exptrm2, p2pl)
+    f10, f11, f12, f13 = (q1mn * exptrm1, q1pl,
+                          q2mn * exptrm2, q2pl)
+    f20, f21, f22, f23 = (p1pl * exptrm1, p1mn,
+                          p2pl * exptrm2, p2mn)
+    f30, f31, f32, f33 = (q1pl * exptrm1, q1mn,
+                          q2pl * exptrm2, q2mn)
 
     if calculation == 0:
-        expon = jnp.exp(-_clip(tau / ubar0))
-        z1mn_up, z2mn_up = z1mn * expon[1:], z2mn * expon[1:]
-        z1pl_up, z2pl_up = z1pl * expon[1:], z2pl * expon[1:]
-        z1mn_down, z2mn_down = z1mn * expon[:-1], z2mn * expon[:-1]
-        z1pl_down, z2pl_down = z1pl * expon[:-1], z2pl * expon[:-1]
+        ex_up = jnp.exp(-_clip(tau[1:] / u0b))
+        ex_dn = jnp.exp(-_clip(tau[:-1] / u0b))
+        z1mn_up, z2mn_up = z1mn * ex_up, z2mn * ex_up
+        z1pl_up, z2pl_up = z1pl * ex_up, z2pl * ex_up
+        z1mn_down, z2mn_down = z1mn * ex_dn, z2mn * ex_dn
+        z1pl_down, z2pl_down = z1pl * ex_dn, z2pl * ex_dn
     else:
+        u0b = jnp.full_like(dtau, 1.0)
         pref = (1 - w0) / a[0] * 2 * PI
         pref2 = -0.5 * (1 - w0) / (4 * a[0]) * 2 * PI
         z1mn_up = pref * (b0 / 2 - b1 / a[1] + b1 * dtau / 2)
@@ -217,8 +284,10 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
         return jnp.stack([jnp.stack(r0, 1), jnp.stack(r1, 1),
                           jnp.stack(r2, 1), jnp.stack(r3, 1)], 1)
 
-    T = rows4((p1mn, p1pl, p2mn, p2pl), (q1mn, q1pl, q2mn, q2pl),
-              (p1pl, p1mn, p2pl, p2mn), (q1pl, q1mn, q2pl, q2mn))
+    T = rows4((p1mn, p1pl * exptrm1, p2mn, p2pl * exptrm2),
+              (q1mn, q1pl * exptrm1, q2mn, q2pl * exptrm2),
+              (p1pl, p1mn * exptrm1, p2pl, p2mn * exptrm2),
+              (q1pl, q1mn * exptrm1, q2pl, q2mn * exptrm2))
     Fm = rows4((f00, f01, f02, f03), (f10, f11, f12, f13),
                (f20, f21, f22, f23), (f30, f31, f32, f33))
     z_down = jnp.stack([z1mn_down, z2mn_down, z1pl_down, z2pl_down], 1)
@@ -237,7 +306,8 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
                    jnp.stack([Q1, Q1, Q2, Q2]),
                    jnp.stack([S1, -S1, S2, -S2])])   # [4, 4, n, nw]
     aux = dict(lam1=lam1, lam2=lam2, eta=eta, A=A,
-               z1pl_up=z1pl_up, f2=(f20, f21, f22, f23))
+               z1pl_up=z1pl_up, f2=(f20, f21, f22, f23),
+               exptrm1=exptrm1, exptrm2=exptrm2, u0b=u0b)
     return T, Fm, z_down, z_up, b_top_vec, b_surf_vec, aux
 
 
@@ -349,12 +419,11 @@ def _reflected_sh_one_angle(props, surf_reflect, u0, u1, cos_theta, F0PI,
             surf_reflect, u0, 0)
     X = _solve_sh(T, Fm, z_down, z_up, btv, bsv, surf_reflect, stream)
 
-    # flux at bottom for the intensity recursion base
+    # flux at bottom for the intensity recursion base (X[:, 1] is the
+    # per-layer SCALED growing-mode coefficient — see _sh2_system)
     if stream == 2:
-        Q1mn = aux['Q1'] * aux['exptrm']
-        Q1pl = aux['Q1'] / aux['exptrm']
         Q2mn = aux['Q2'] * aux['exptrm']
-        flux_bot = (Q2mn[-1] * X[-1, 0] + Q1pl[-1] * X[-1, 1]
+        flux_bot = (Q2mn[-1] * X[-1, 0] + aux['Q1'][-1] * X[-1, 1]
                     + aux['zpl_up'][-1])
     else:
         f20, f21, f22, f23 = aux['f2']
@@ -362,18 +431,22 @@ def _reflected_sh_one_angle(props, surf_reflect, u0, u1, cos_theta, F0PI,
                     + f22[-1] * X[-1, 2] + f23[-1] * X[-1, 3]
                     + aux['z1pl_up'][-1])
 
-    mus = (u1 + u0) / (u1 * u0)
+    # pair the eta source integrals with the DITHERED beam angle used in
+    # the solve (aux['u0b']) so near-resonance cancellations stay exact
+    u0b = aux['u0b']
+    mus = (u1 + u0b) / (u1 * u0b)
     exptrm_mus = (1 - jnp.exp(-_clip(mus * dtau))) / mus
-    exptau_mu = jnp.exp(-_clip(tau[:-1] / u0))
+    exptau_mu = jnp.exp(-_clip(tau[:-1] / u0b))
     expon1 = exptrm_mus * exptau_mu
 
     eta = aux['eta']
+    trans_u1 = jnp.exp(-_clip(dtau / u1))
     if stream == 2:
         lam, q = aux['lam'], aux['q']
         alpha = 1 / u1 + lam
         beta_ = 1 / u1 - lam
         exptrm_alp = (1 - jnp.exp(-_clip(alpha * dtau))) / alpha
-        exptrm_bet = (1 - jnp.exp(-_clip(beta_ * dtau))) / beta_
+        exptrm_bet = _scaled_bet(aux['exptrm'], trans_u1, beta_, dtau)
         Aint0 = X[:, 0] * (w_multi[0] - w_multi[1] * Pu1[1] * q) * exptrm_alp
         Aint1 = X[:, 1] * (w_multi[0] + w_multi[1] * Pu1[1] * q) * exptrm_bet
         Nint0 = w_multi[0] * (eta[0] * expon1)
@@ -384,9 +457,9 @@ def _reflected_sh_one_angle(props, surf_reflect, u0, u1, cos_theta, F0PI,
         alpha1, alpha2 = 1 / u1 + lam1, 1 / u1 + lam2
         beta1, beta2 = 1 / u1 - lam1, 1 / u1 - lam2
         e = [(1 - jnp.exp(-_clip(alpha1 * dtau))) / alpha1 * X[:, 0],
-             (1 - jnp.exp(-_clip(beta1 * dtau))) / beta1 * X[:, 1],
+             _scaled_bet(aux['exptrm1'], trans_u1, beta1, dtau) * X[:, 1],
              (1 - jnp.exp(-_clip(alpha2 * dtau))) / alpha2 * X[:, 2],
-             (1 - jnp.exp(-_clip(beta2 * dtau))) / beta2 * X[:, 3]]
+             _scaled_bet(aux['exptrm2'], trans_u1, beta2, dtau) * X[:, 3]]
         exptrm = jnp.stack(e)
         Aint = sum(w_multi[j] * Pu1[j] * A4[j] for j in range(4)) * exptrm
         Nints = sum(w_multi[j] * Pu1[j] * eta[j] * expon1 for j in range(4))
@@ -509,7 +582,7 @@ def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
             alpha = 1 / u1 + lam
             beta_ = 1 / u1 - lam
             exptrm_alp = (1 - jnp.exp(-_clip(alpha * dtau))) / alpha
-            exptrm_bet = (1 - jnp.exp(-_clip(beta_ * dtau))) / beta_
+            exptrm_bet = _scaled_bet(aux['exptrm'], expdtau, beta_, dtau)
             Aint0 = (X[:, 0] * (w_multi[0] - w_multi[1] * Pu1[1] * q)
                      * exptrm_alp)
             Aint1 = (X[:, 1] * (w_multi[0] + w_multi[1] * Pu1[1] * q)
@@ -525,9 +598,11 @@ def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
             alpha1, alpha2 = 1 / u1 + lam1, 1 / u1 + lam2
             beta1, beta2 = 1 / u1 - lam1, 1 / u1 - lam2
             e = [(1 - jnp.exp(-_clip(alpha1 * dtau))) / alpha1 * X[:, 0],
-                 (1 - jnp.exp(-_clip(beta1 * dtau))) / beta1 * X[:, 1],
+                 _scaled_bet(aux['exptrm1'], expdtau, beta1, dtau)
+                 * X[:, 1],
                  (1 - jnp.exp(-_clip(alpha2 * dtau))) / alpha2 * X[:, 2],
-                 (1 - jnp.exp(-_clip(beta2 * dtau))) / beta2 * X[:, 3]]
+                 _scaled_bet(aux['exptrm2'], expdtau, beta2, dtau)
+                 * X[:, 3]]
             exptrm = jnp.stack(e)
             Aint = sum(w_multi[j] * Pu1[j] * A4[j]
                        for j in range(4)) * exptrm

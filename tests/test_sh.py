@@ -131,3 +131,62 @@ def test_thermal_sh_isothermal_limit(stream):
     from picaso_tpu.rt.toon import blackbody
     bb = np.pi * np.asarray(blackbody(tlevel[:1], 1.0 / wno))[0]
     np.testing.assert_allclose(np.asarray(flux), bb, rtol=2e-3)
+
+
+def test_sh_f32_deep_atmosphere_stable(dlugach_case):
+    """f32 SH must stay accurate on deep multilayer atmospheres (the TPU
+    path): growing-mode scaling + beam dithering + thin-layer floor +
+    refined block solve.  Guards the 1e15-amplification failure mode of
+    the naive (reference-style) assembly at float32."""
+    import jax
+    from picaso_tpu.optics import RTProps
+    from picaso_tpu.rt.sh import reflected_sh
+    from picaso_tpu.rt.toon import ScatteringControls
+
+    rng = np.random.default_rng(3)
+    nlayer, nwno = 40, 50
+    # optically deep, scattering-varied stack incl. near-transparent layers
+    dtau = np.concatenate([np.full((5, nwno), 1e-6),
+                           np.logspace(-3, 1.5, nlayer - 5)[:, None]
+                           * np.ones((1, nwno))])
+    tau = np.zeros((nlayer + 1, nwno))
+    tau[1:] = np.cumsum(dtau, 0)
+    w0 = rng.uniform(0.2, 0.999, (nlayer, nwno))
+    cosb = rng.uniform(0.0, 0.9, (nlayer, nwno))
+    zeros = np.zeros_like(dtau)
+
+    def build(dtype):
+        c = lambda x: jnp.asarray(x, dtype)
+        return RTProps(
+            dtau=c(dtau), tau=c(tau), w0=c(w0), cosb=c(cosb),
+            gcos2=c(zeros), ftau_cld=c(np.ones_like(dtau)),
+            ftau_ray=c(zeros), f_deltaM=c(zeros), dtau_og=c(dtau),
+            tau_og=c(tau), w0_og=c(w0), cosb_og=c(cosb),
+            w0_no_raman=c(w0))
+
+    u0 = jnp.full((1, 1), 0.5973)   # sits near a lam*u0=1 resonance
+    kw = dict(stream=2, controls=ScatteringControls())
+    with jax.enable_x64(False):
+        x32 = np.asarray(reflected_sh(build(jnp.float32),
+                                      jnp.zeros(nwno, jnp.float32), u0, u0,
+                                      1.0, jnp.ones(nwno, jnp.float32),
+                                      **kw), np.float64)
+    # f64 run WITH the f32 thin-layer floor applied, so the comparison
+    # isolates f32 arithmetic quality from the (intentional) floor
+    from picaso_tpu.rt import sh as shmod
+    orig_floor = shmod._thin_floor
+    shmod._thin_floor = lambda dtype: shmod._THIN32
+    try:
+        x64 = np.asarray(reflected_sh(build(jnp.float64), jnp.zeros(nwno),
+                                      u0.astype(jnp.float64),
+                                      u0.astype(jnp.float64), 1.0,
+                                      jnp.ones(nwno), **kw))
+    finally:
+        shmod._thin_floor = orig_floor
+        jax.clear_caches()   # drop the jitted trace that baked the patch
+    assert np.isfinite(x32).all()
+    scale = np.abs(x64).max()
+    # the failure mode being guarded is 1e15 garbage from the
+    # unscaled/unpivoted reference-style assembly at f32
+    assert np.abs(x32 - x64).max() / scale < 0.02, (
+        np.abs(x32 - x64).max(), scale)

@@ -235,6 +235,11 @@ def test_sh2_solution_matches_reference_system():
         jnp.asarray(surf_reflect), u0, 0)
     X = np.asarray(_solve_sh(T, Fm, z_down, z_up, btv, bsv,
                              jnp.asarray(surf_reflect), 2))
+    # the TPU system solves for the per-layer SCALED growing-mode
+    # coefficient X2' = X2/exptrm (f32 conditioning); unscale to compare
+    # against the reference's unscaled unknowns
+    X = X.copy()
+    X[:, 1] = X[:, 1] * np.asarray(aux['exptrm'])
     for w in range(dtau.shape[1]):
         M, Bv = _reference_dense_2stream(w0, dtau, tau, a, b, b_top,
                                          b_surface, surf_reflect, u0, w)
@@ -252,6 +257,9 @@ def test_sh4_solution_matches_reference_system():
         jnp.asarray(b_surface_sh4), jnp.asarray(surf_reflect), u0, 0)
     X = np.asarray(_solve_sh(T, Fm, z_down, z_up, btv, bsv,
                              jnp.asarray(surf_reflect), 4))
+    X = X.copy()
+    X[:, 1] = X[:, 1] * np.asarray(aux['exptrm1'])
+    X[:, 3] = X[:, 3] * np.asarray(aux['exptrm2'])
     for w in range(dtau.shape[1]):
         M, Bv = _reference_dense_4stream(w0, dtau, tau, a, b, b_top,
                                          b_surface, b_surface_sh4,
