@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .toon import (ScatteringControls, _EXP_CLIP, _dither_u0,
+from .toon import (ScatteringControls, _exp_clip, _dither_u0,
                    _resonant_ratio)
 
 __all__ = ['reflected_pallas', 'thermal_pallas']
@@ -149,8 +149,12 @@ def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
         g1 = (sq3 * 0.5) * (2.0 - w0 * (1.0 + ftau_cld * cosb))
         g2 = (sq3 * w0 * 0.5) * (1.0 - ftau_cld * cosb)
     lamda = jnp.sqrt(g1 ** 2 - g2 ** 2)
-    gama = (g1 - lamda) / g2
-    exptrm = jnp.minimum(lamda * dtau, _EXP_CLIP)
+    # stable form of (g1 - lamda)/g2 (fluxes.py:1141): multiplying by
+    # (g1 + lamda)/(g1 + lamda) removes the g1 - sqrt(g1^2 - g2^2)
+    # cancellation that explodes at f32 when g2 -> 0 (pure absorption:
+    # 1-ulp rounding of the sqrt flips gama between ~0 and ~2)
+    gama = g2 / (g1 + lamda)
+    exptrm = jnp.minimum(lamda * dtau, _exp_clip(dtau.dtype))
     exptrm_positive = jnp.exp(exptrm)
     exptrm_minus = 1.0 / exptrm_positive
 
@@ -437,7 +441,11 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
     g1 = 2.0 - w0 * (1.0 + cosb)
     g2 = w0 * (1.0 - cosb)
     lamda = jnp.sqrt(g1 ** 2 - g2 ** 2)
-    gama = (g1 - lamda) / g2
+    # stable form of (g1 - lamda)/g2 (fluxes.py:1141): multiplying by
+    # (g1 + lamda)/(g1 + lamda) removes the g1 - sqrt(g1^2 - g2^2)
+    # cancellation that explodes at f32 when g2 -> 0 (pure absorption:
+    # 1-ulp rounding of the sqrt flips gama between ~0 and ~2)
+    gama = g2 / (g1 + lamda)
     g1_plus_g2 = 1.0 / (g1 + g2)
 
     twopimu = 2.0 * PI * mu1
@@ -446,7 +454,7 @@ def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
     c_plus_down = twopimu * (b0 + b1 * dtau + b1 * g1_plus_g2)
     c_minus_down = twopimu * (b0 + b1 * dtau - b1 * g1_plus_g2)
 
-    exptrm = jnp.minimum(lamda * dtau, _EXP_CLIP)
+    exptrm = jnp.minimum(lamda * dtau, _exp_clip(dtau.dtype))
     exptrm_positive = jnp.exp(exptrm)
     exptrm_minus = 1.0 / exptrm_positive
     e1 = exptrm_positive + gama * exptrm_minus

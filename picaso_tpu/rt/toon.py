@@ -40,7 +40,16 @@ __all__ = [
     'blackbody', 'blackbody_integrated',
 ]
 
-_EXP_CLIP = 35.0  # fluxes.py:1174 — overflow guard on lamda*dtau
+_EXP_CLIP = 35.0   # fluxes.py:1174 — overflow guard on lamda*dtau (f64)
+_EXP_CLIP32 = 10.0  # f32 analog: e^10 ~ 2e4 keeps exp(+x)*exp(-x)
+#                     cancellations within f32 precision; a layer with
+#                     lamda*dtau > 10 transmits < 5e-5 so the physics
+#                     change is negligible (the reference's 35 assumes
+#                     float64 headroom)
+
+
+def _exp_clip(dtype):
+    return _EXP_CLIP32 if dtype == jnp.float32 else _EXP_CLIP
 
 def _safe(den, eps=1e-6):
     """Sign-preserving clamp of the lamda*mu -> 1 resonance denominators.
@@ -285,10 +294,14 @@ def reflected_1d(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
         g1 = (sq3 * 0.5) * (2.0 - w0 * (1.0 + ftau_cld * cosb))
         g2 = (sq3 * w0 * 0.5) * (1.0 - ftau_cld * cosb)
     lamda = jnp.sqrt(g1 ** 2 - g2 ** 2)
-    gama = (g1 - lamda) / g2
+    # stable form of (g1 - lamda)/g2 (fluxes.py:1141): multiplying by
+    # (g1 + lamda)/(g1 + lamda) removes the g1 - sqrt(g1^2 - g2^2)
+    # cancellation that explodes at f32 when g2 -> 0 (pure absorption:
+    # 1-ulp rounding of the sqrt flips gama between ~0 and ~2)
+    gama = g2 / (g1 + lamda)
 
     # angle-independent hoists (the reference recomputes these per angle)
-    exptrm = jnp.minimum(lamda * dtau, _EXP_CLIP)
+    exptrm = jnp.minimum(lamda * dtau, _exp_clip(dtau.dtype))
     exptrm_positive = jnp.exp(exptrm)
     exptrm_minus = 1.0 / exptrm_positive
 
@@ -366,7 +379,11 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
     g1 = 2.0 - w0 * (1.0 + cosb)
     g2 = w0 * (1.0 - cosb)
     lamda = jnp.sqrt(g1 ** 2 - g2 ** 2)
-    gama = (g1 - lamda) / g2
+    # stable form of (g1 - lamda)/g2 (fluxes.py:1141): multiplying by
+    # (g1 + lamda)/(g1 + lamda) removes the g1 - sqrt(g1^2 - g2^2)
+    # cancellation that explodes at f32 when g2 -> 0 (pure absorption:
+    # 1-ulp rounding of the sqrt flips gama between ~0 and ~2)
+    gama = g2 / (g1 + lamda)
     g1_plus_g2 = 1.0 / (g1 + g2)
 
     twopimu = 2.0 * PI * mu1
@@ -375,7 +392,7 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
     c_plus_down = twopimu * (b0 + b1 * dtau + b1 * g1_plus_g2)
     c_minus_down = twopimu * (b0 + b1 * dtau - b1 * g1_plus_g2)
 
-    exptrm = jnp.minimum(lamda * dtau, _EXP_CLIP)
+    exptrm = jnp.minimum(lamda * dtau, _exp_clip(dtau.dtype))
     exptrm_positive = jnp.exp(exptrm)
     exptrm_minus = 1.0 / exptrm_positive
 

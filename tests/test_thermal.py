@@ -83,3 +83,38 @@ def test_scattering_probes_deeper():
             f, jnp.asarray(geom.gweight), jnp.asarray(geom.tweight)))
 
     assert (run(0.7) > run(1e-6)).all()
+
+
+def test_thermal_f32_pure_absorption_stable():
+    """f32 thermal at w0 -> 0 (absorption-dominated wavelengths).
+
+    gama = (g1 - lamda)/g2 cancels catastrophically when g2 -> 0: a
+    1-ulp rounding of sqrt(g1^2 - g2^2) flips gama between ~0 and ~2,
+    which produced thermal fluxes ~100x wrong on TPU.  The stable form
+    g2/(g1 + lamda) must keep f32 within ~1e-3 of f64.  (CPU's correctly
+    rounded sqrt hides the old formula's failure — the discriminating
+    platform is TPU, where rsqrt-based sqrt rounds the other way; this
+    test pins the stable form's accuracy on any backend.)"""
+    import jax
+    nlayer, nwno = 30, 20
+    dtau64 = np.logspace(-6, 0.5, nlayer)[:, None] * np.ones((1, nwno))
+    w064 = np.full((nlayer, nwno), 1.3e-7)
+    cosb64 = np.zeros((nlayer, nwno))
+    tlevel64 = np.linspace(250.0, 1700.0, nlayer + 1)
+    plevel64 = np.logspace(-6, 2, nlayer + 1)
+    wno_v64 = np.linspace(700.0, 1500.0, nwno)
+    u1 = np.full((1, 1), 0.5)   # lamda*u1 = 1 exactly at w0 = 0
+
+    def run(dtype):
+        c = lambda x: jnp.asarray(x, dtype)
+        flux, _ = toon.thermal_1d(
+            c(tlevel64), c(dtau64), c(w064), c(cosb64), c(plevel64),
+            c(u1), c(np.zeros(nwno)), c(wno_v64), dwno=c(np.zeros(nwno)))
+        return np.asarray(flux, np.float64)[0, 0]
+
+    with jax.enable_x64(False):
+        f32 = run(jnp.float32)
+    f64 = run(jnp.float64)
+    assert np.isfinite(f32).all()
+    rel = np.abs(f32 - f64) / np.abs(f64)
+    assert rel.max() < 1e-3, rel.max()
