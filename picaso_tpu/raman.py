@@ -29,9 +29,16 @@ _H = 6.62607004e-27
 
 
 def load_raman_db(filename):
-    """Oklopcic cross-section table (raman.txt, 16-row header)."""
-    return pd.read_csv(filename, sep=r'\s+', skiprows=16, header=None,
-                       names=['ji', 'jf', 'vf', 'c', 'deltanu'])
+    """Oklopcic cross-section table (raman.txt, 16-row header).
+
+    The 'c' cross sections (~1e-45) only ever enter scale-invariant
+    ratios (raman_factor_oklopcic), but raw they underflow float32 on
+    device — normalize to max=1 at load time.
+    """
+    df = pd.read_csv(filename, sep=r'\s+', skiprows=16, header=None,
+                     names=['ji', 'jf', 'vf', 'c', 'deltanu'])
+    df['c'] = df['c'] / df['c'].abs().max()
+    return df
 
 
 def bin_star(wno_new, wno_old, Fp):
@@ -69,6 +76,10 @@ def compute_stellar_shifts(model_wno, raman_db, wno_star, flux_star):
         if i == 0:
             unshifted = shifted_flux
         all_shifted[:, i] = shifted_flux / unshifted
+    # shifted wavenumbers outside the stellar spectrum's coverage (empty
+    # tophat bins -> NaN means) get the neutral ratio — those are far-IR
+    # model wavelengths where the Raman correction is irrelevant
+    all_shifted = np.where(np.isfinite(all_shifted), all_shifted, 1.0)
     return all_shifted, unshifted_spec
 
 
@@ -94,6 +105,11 @@ def raman_factor_oklopcic(wno, stellar_shifts, tlayer, cross_sections,
     """
     j_at_temp = _j_fraction(tlayer)            # [10, nlayer]
     shifted_wno = wno[None, :] + deltanu[:, None]           # [nrow, nwno]
+    # cross sections are ~1e-45 and Q ~ 1e-53 — far below the f32 minimum
+    # normal (1e-38), so un-normalized Q underflows to 0 and the factor
+    # becomes 0/0 on TPU.  The returned quantity is a ratio of Q-sums, so
+    # any fixed rescale cancels exactly.
+    cross_sections = cross_sections / jnp.max(jnp.abs(cross_sections))
     Q = cross_sections[:, None] / wno[None, :] ** 3.0 / shifted_wno
     is_ray = (deltanu == 0)[:, None]
     pop = j_at_temp[j_initial]                  # [nrow, nlayer]
@@ -102,7 +118,13 @@ def raman_factor_oklopcic(wno, stellar_shifts, tlayer, cross_sections,
     w_shift = jnp.einsum('rl,rw->lw', pop * (~is_ray),
                          Q * stellar_shifts.T)
     wo_shift = jnp.einsum('rl,rw->lw', pop * (~is_ray), Q)
-    return (ray + w_shift) / (ray + wo_shift)
+    # far-IR wavelengths with wno < |deltanu| have unphysical negative
+    # shifted wavenumbers whose Q terms can cancel the denominator to
+    # ~0 (0/0 at f32); Raman corrections are meaningless there, so fall
+    # back to the neutral factor (the 0.99999 cap applies downstream)
+    denom = ray + wo_shift
+    ok = jnp.abs(denom) > 1e-30
+    return jnp.where(ok, (ray + w_shift) / jnp.where(ok, denom, 1.0), 1.0)
 
 
 def raman_factor_pollack(nlayer, wave, refdata_dir=None):

@@ -9,6 +9,7 @@ regression values.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pandas as pd
 import pytest
 
@@ -119,3 +120,63 @@ def test_patchy_clouds_mix(jupiter_case):
     hole = case.spectrum(opa, calculation='reflected')['albedo']
     expect = 0.6 * cloudy + 0.4 * hole
     np.testing.assert_allclose(patchy, expect, rtol=1e-6, atol=1e-9)
+
+
+def test_raman_modes(jupiter_case):
+    """All three raman treatments run end-to-end and differ sensibly
+    (optics.py:286-306: oklopcic shifts, pollack table, none)."""
+    opa, case = jupiter_case
+    albs = {}
+    for mode in ('none', 'pollack', 'oklopcic'):
+        case.approx(raman=mode)
+        if mode == 'oklopcic':
+            # reference order: raman option must be set before star()
+            # binds the shifted spectra (justdoit.py:1833-1841)
+            case.star(opa, 5700, 0.0, 4.4, radius=1.0,
+                      radius_unit=jdi.u.Unit('Rsun'), semi_major=5.2,
+                      semi_major_unit=jdi.u.Unit('au'))
+        out = case.spectrum(opa, calculation='reflected')
+        alb = np.asarray(out['albedo'])
+        assert np.isfinite(alb).all(), mode
+        assert (alb >= 0).all() and (alb <= 1.2).all(), mode
+        albs[mode] = alb
+    case.approx()  # restore defaults
+    # this grid stops at 0.556 um where the Pollack table is > 1, so the
+    # 0.99999 cap (optics.py:301-306) makes pollack coincide with 'none';
+    # oklopcic picks up sub-percent slope effects from the blackbody's
+    # shifted/unshifted ratios.  The discriminating stellar-line case is
+    # exercised in test_raman_oklopcic_f32_no_underflow.
+    assert np.allclose(albs['pollack'], albs['none'], rtol=1e-4)
+    assert np.allclose(albs['oklopcic'], albs['none'], rtol=0.02)
+
+
+def test_raman_oklopcic_f32_no_underflow(jupiter_case):
+    """The Oklopcic factor's un-normalized cross sections (~1e-53)
+    underflow float32 to 0/0 = NaN; the scale-invariant normalization
+    must keep f32 finite and matching f64, including rf < 1 regions
+    driven by a stellar absorption line."""
+    import jax
+    from picaso_tpu import raman as raman_mod
+    opa, case = jupiter_case
+    wno_star = np.linspace(50.0, 40000.0, 20000)
+    from picaso_tpu.constants import PLANCK_C1, PLANCK_C2
+    flux = (np.pi * PLANCK_C1 * wno_star ** 3
+            / (np.exp(PLANCK_C2 * wno_star / 5700.0) - 1.0))
+    flux *= 1 - 0.8 * np.exp(-0.5 * ((wno_star - 15000) / 80.0) ** 2)
+    shifts, _ = raman_mod.compute_stellar_shifts(
+        np.asarray(opa.wno), opa.raman_db, wno_star, flux)
+    args64 = (jnp.asarray(opa.wno), jnp.asarray(shifts),
+              jnp.linspace(150.0, 900.0, 30),
+              jnp.asarray(opa.raman_db['c'].values),
+              jnp.asarray(opa.raman_db['ji'].values, jnp.int32),
+              jnp.asarray(opa.raman_db['deltanu'].values))
+    rf64 = np.asarray(raman_mod.raman_factor_oklopcic(*args64))
+    with jax.enable_x64(False):
+        args32 = tuple(jnp.asarray(np.asarray(a),
+                                   jnp.int32 if a.dtype == jnp.int32
+                                   else jnp.float32) for a in args64)
+        rf32 = np.asarray(raman_mod.raman_factor_oklopcic(*args32),
+                          np.float64)
+    assert np.isfinite(rf32).all()
+    assert (rf64 < 0.999).any()          # the line produces real dips
+    assert np.abs(rf32 - rf64).max() < 1e-3
