@@ -1664,6 +1664,62 @@ class _ChemGridMixin:
         grid = chem_mod.chem_grid_from_table(table)
         self._apply_chem_grid(grid)
 
+    def _chem_3d_apply(self, grid):
+        """Post-process chemistry onto a 3D GCM dict in ONE vectorized
+        interpolation call (every column flattened into the batch axis) —
+        the TPU analog of the reference's joblib column fan-out
+        (justdoit.py:3560-3633)."""
+        from . import chemistry as chem_mod
+        data = self.inputs['atmosphere']['profile']
+        if not (isinstance(data, dict) and 'lat' in data):
+            raise ValueError('premix_3d/chemeq_3d need a 3D GCM dict '
+                             '(run atmosphere_3d first)')
+        t = np.asarray(data['temperature'], float)   # [nlevel, nlon, nlat]
+        nlevel, nlon, nlat = t.shape
+        p = np.asarray(data['pressure'], float)
+        p_full = np.broadcast_to(p[:, None, None], t.shape)
+        abunds = np.asarray(chem_mod.chem_interp(
+            grid, jnp.asarray(t.ravel()), jnp.asarray(p_full.ravel())))
+        out = dict(data)
+        for i, sp in enumerate(grid.species):
+            out[sp] = abunds[:, i].reshape(nlevel, nlon, nlat)
+        self.inputs['atmosphere']['profile'] = out
+        self.nlevel = nlevel
+        return out
+
+    def premix_3d(self, opa, n_cpu=1):
+        """Premixed CK chemistry on every 3D column (justdoit.py:3517).
+
+        ``n_cpu`` is accepted for API parity but unused: the columns are
+        one flattened device batch, not joblib processes."""
+        from . import chemistry as chem_mod
+        table = (opa.ck.full_abunds
+                 if getattr(opa, 'ck', None) is not None else None)
+        if table is None:
+            raise ValueError('premix_3d needs a CK connection with a '
+                             'full_abunds chemistry table')
+        return self._chem_3d_apply(chem_mod.chem_grid_from_table(table))
+
+    def chemeq_3d(self, c_o=None, log_mh=0.0, cto_absolute=0.55, n_cpu=1):
+        """Visscher equilibrium chemistry on every 3D column
+        (justdoit.py:3590); same grid-file resolution as
+        chemeq_visscher_1060 (external set or bundled solar file)."""
+        from . import chemistry as chem_mod
+        from .refdata import external_refdata
+        if isinstance(c_o, (int, float)):
+            cto_absolute = c_o * 0.55
+        ext = external_refdata()
+        directory = (os.path.join(ext, 'chemistry', 'visscher_grid_1060')
+                     if ext else None)
+        if directory and os.path.isdir(directory):
+            fn = _nearest_grid_file(directory, '2015_06_1060grid',
+                                    log_mh, cto_absolute)
+        else:
+            fn = refdata_path('chemistry',
+                              '2015_06_1060grid_feh_00_co_10.txt')
+        table = _parse_visscher_grid(fn)
+        return self._chem_3d_apply(chem_mod.chem_grid_from_table(table))
+
     def _apply_chem_grid(self, grid):
         from . import chemistry as chem_mod
         prof = self.inputs['atmosphere']['profile']
@@ -1727,6 +1783,7 @@ class _ChemGridMixin:
 # bind the chemistry-grid methods onto inputs
 for _name in ('channon_grid_low', 'chemeq_visscher_1060',
               'chemeq_visscher_2121', '_apply_chem_grid',
+              '_chem_3d_apply', 'premix_3d', 'chemeq_3d',
               'sonora_profile'):
     setattr(inputs, _name, getattr(_ChemGridMixin, _name))
 inputs.sonora = _ChemGridMixin.sonora_profile

@@ -163,3 +163,37 @@ def test_phase_curve_4d(setup):
     vals = [out['thermal'].mean() for out in allout.values()]
     assert all(np.isfinite(v) for v in vals)
     assert abs(vals[0] - vals[1]) / vals[0] > 1e-3
+
+
+def test_chemeq_3d_vectorized():
+    """chemeq_3d post-processes equilibrium chemistry onto every GCM
+    column in one vectorized call (justdoit.py:3590 analog)."""
+    case = jdi.inputs(calculation='browndwarf')
+    data = _gcm(nlevel=25)
+    case.atmosphere_3d(data)
+    out = case.chemeq_3d(log_mh=0.0, cto_absolute=0.55)
+    assert 'H2O' in out and out['H2O'].shape == (25, 12, 8)
+    assert np.isfinite(out['H2O']).all() and (out['H2O'] > 0).all()
+    # hotter dayside column should differ from nightside chemistry
+    assert not np.allclose(out['CH4'][:, 0, 3], out['CH4'][:, 6, 3])
+    # matches the 1D path column-by-column
+    case1 = jdi.inputs(calculation='browndwarf')
+    import pandas as pd
+    case1.atmosphere(df=pd.DataFrame({
+        'pressure': data['pressure'],
+        'temperature': data['temperature'][:, 6, 3]}))
+    df1 = None
+    case1.chemeq_visscher_1060(cto_absolute=0.55, log_mh=0.0)
+    df1 = case1.inputs['atmosphere']['profile']
+    np.testing.assert_allclose(out['CH4'][:, 6, 3], df1['CH4'],
+                               rtol=2e-5)
+
+
+def test_premix_3d_requires_ck():
+    case = jdi.inputs(calculation='browndwarf')
+    case.atmosphere_3d(_gcm(nlevel=25))
+
+    class NoCk:
+        ck = None
+    with pytest.raises(ValueError):
+        case.premix_3d(NoCk())
