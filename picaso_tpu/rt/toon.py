@@ -76,7 +76,7 @@ def _resonant_ratio(num, den, limit, eps=1e-4):
     return jnp.where(jnp.abs(den) < eps, limit, num / _safe(den))
 
 
-def _dither_u0(lamda, u0, delta=1e-3):
+def _dither_u0(lamda, u0, delta=None):
     """Elementwise beam-angle dither off the lamda*u0 = 1 resonance.
 
     The c+- particular solution has 1/(lamda^2 - 1/u0^2) with a
@@ -85,7 +85,14 @@ def _dither_u0(lamda, u0, delta=1e-3):
     so no ratio guard exists; the standard cure (cf. DISORT dithering) is
     to nudge u0 away from the eigenvalue where they collide.  Error is
     O(delta) at the isolated resonant (layer, wavelength) points only.
+
+    delta balances dither bias O(delta) against post-cancellation noise
+    O(eps_mach/delta): ~sqrt(eps) per dtype (1e-3 f32, 1e-8 f64 — the
+    latter keeps f64 CPU runs within ~1e-8 of the reference's unprotected
+    arithmetic near resonances).
     """
+    if delta is None:
+        delta = 1e-3 if jnp.asarray(lamda).dtype == jnp.float32 else 1e-8
     resonant = jnp.abs(lamda * u0 - 1.0) < delta
     return jnp.where(resonant, 1.0 / (lamda * (1.0 + delta)), u0)
 

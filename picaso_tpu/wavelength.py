@@ -13,7 +13,7 @@ import pandas as pd
 
 from .refdata import refdata_path
 
-__all__ = ['get_cld_input_grid', 'regrid', 'mean_regrid']
+__all__ = ['get_cld_input_grid', 'regrid', 'mean_regrid', 'create_grid']
 
 
 def get_cld_input_grid(filename_or_grid='wave_EGP.dat', grid661=False):
@@ -43,33 +43,39 @@ def regrid(matrix, old_wno, new_wno):
     return new
 
 
-def mean_regrid(x, y, newx=None, R=None):
-    """Bin a spectrum to a new grid (uniform-in-x tophat mean).
+def create_grid(min_wavelength, max_wavelength, constant_R):
+    """Constant-R wavenumber grid, exact port of the reference construction
+    (opacity_factory.py:712-739): geometric wavelength spacing
+    (2R+1)/(2R-1) from min_wavelength, returned as ascending wavenumbers."""
+    spacing = (2.0 * constant_R + 1.0) / (2.0 * constant_R - 1.0)
+    npts = np.log(max_wavelength / min_wavelength) / np.log(spacing)
+    wsize = int(np.ceil(npts)) + 1
+    newwl = min_wavelength * spacing ** np.arange(wsize)
+    return 1e4 / newwl[::-1]
 
-    Port of justplotit.py:31 semantics: either supply target centers ``newx``
-    or a resolving power ``R`` (log-spaced grid).  Returns (newx, newy) with
-    NaN where a bin caught no points.
+
+def mean_regrid(x, y, newx=None, R=None):
+    """Bin a spectrum to a new grid; exact port of justplotit.py:31-63.
+
+    Either supply target centers ``newx`` (bin edges are midpoints between
+    centers, extended by half a step at both ends) or a resolving power
+    ``R`` (the constant-R grid is used directly as the bin edges).  Returns
+    the arithmetic bin centers and per-bin means (NaN for empty bins).
     """
+    from scipy.stats import binned_statistic
+
     x = np.asarray(x)
     y = np.asarray(y)
-    order = np.argsort(x)
-    x, y = x[order], y[order]
-    if newx is None:
-        if R is None:
-            raise ValueError('supply newx or R')
-        # build log grid in wavenumber at resolving power R
-        lo, hi = np.min(x), np.max(x)
-        n = int(np.ceil(np.log(hi / lo) * R))
-        newx = lo * np.exp(np.arange(n + 1) / R)
-    newx = np.asarray(newx)
-    edges = np.zeros(len(newx) + 1)
-    edges[1:-1] = 0.5 * (newx[1:] + newx[:-1])
-    edges[0] = newx[0] - (edges[1] - newx[0])
-    edges[-1] = newx[-1] + (newx[-1] - edges[-2])
-    idx = np.digitize(x, edges) - 1
-    newy = np.full(len(newx), np.nan)
-    for i in range(len(newx)):
-        sel = idx == i
-        if sel.any():
-            newy[i] = np.mean(y[sel])
-    return newx, newy
+    if newx is None and R is not None:
+        newx = create_grid(1e4 / np.max(x), 1e4 / np.min(x), R)
+    elif newx is not None and R is None:
+        newx = np.asarray(newx)
+        d = np.diff(newx)
+        newx = np.concatenate([[newx[0] - d[0] / 2.0],
+                               newx[:-1] + d / 2.0,
+                               [newx[-1] + d[-1] / 2.0]])
+    else:
+        raise ValueError('Please either enter a newx or a R')
+    y, edges, _ = binned_statistic(x, y, bins=newx)
+    newx = (edges[:-1] + edges[1:]) / 2.0
+    return newx, y
