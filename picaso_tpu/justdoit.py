@@ -1586,6 +1586,22 @@ def _parse_visscher_grid(filename):
     return df
 
 
+def _decode_grid_float(s):
+    """Invert the reference's filename encoding of feh/co values.
+
+    2121 grids use plain floats ('sonora_2121grid_feh-0.3_co0.14.txt');
+    1060 grids use str(v).replace('.','').replace('-','m')
+    (justdoit.py:3079-3083): '00'->0.0, '025'->0.25, 'm03'->-0.3,
+    '15'->1.5 — i.e. the dot was removed after the first digit.
+    """
+    sign = 1.0
+    if s.startswith('m'):
+        sign, s = -1.0, s[1:]
+    if '.' in s:
+        return sign * float(s)
+    return sign * float(s[0] + '.' + s[1:])
+
+
 def _nearest_grid_file(directory, pattern_prefix, log_mh, cto):
     """Pick the grid file nearest in (feh, co) from its filename."""
     import re
@@ -1593,15 +1609,14 @@ def _nearest_grid_file(directory, pattern_prefix, log_mh, cto):
              if f.startswith(pattern_prefix)]
     best, best_d = None, np.inf
     for f in files:
-        m = re.search(r'feh([_+-]?[\d.]+)_co([\d.]+)', f)
+        m = re.search(r'feh_?(m?[+-]?[\d.]+)_co_?([\d.]+)', f)
         if not m:
             continue
-        feh_s = m.group(1).replace('_', '')
-        feh = float(feh_s) / (100 if feh_s.lstrip('+-').isdigit()
-                              and len(feh_s.lstrip('+-')) > 1
-                              and '.' not in feh_s else 1)
-        co_s = m.group(2)
-        co = float(co_s) / (100 if '.' not in co_s else 1)
+        try:
+            feh = _decode_grid_float(m.group(1).lstrip('+'))
+            co = _decode_grid_float(m.group(2))
+        except ValueError:
+            continue
         d = (feh - log_mh) ** 2 + (co - cto) ** 2
         if d < best_d:
             best, best_d = f, d

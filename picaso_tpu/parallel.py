@@ -43,7 +43,7 @@ def make_mesh(n_wave=None, n_batch=1, devices=None):
 def _wave_sharded_fields():
     """SceneTensors fields carrying a trailing wavelength axis."""
     return {'cld_opd', 'cld_g0', 'cld_w0', 'sigma_ray', 'F0PI',
-            'surf_reflect'}
+            'surf_reflect', 'raman_shifts', 'raman_pollack_row'}
 
 
 def shard_scene(scene: SceneTensors, mesh: Mesh,

@@ -18,6 +18,7 @@ work.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -60,6 +61,12 @@ class SceneTensors(NamedTuple):
     F0PI: jnp.ndarray            # [nwno]
     surf_reflect: jnp.ndarray    # [nwno]
     rstar: jnp.ndarray           # scalar (cm)
+    # Raman inputs (empty [.., 0] / neutral when raman is off):
+    raman_shifts: jnp.ndarray    # [nrow, nwno] raman-shifted star ratios
+    raman_c: jnp.ndarray         # [nrow] cross-section coefficients
+    raman_ji: jnp.ndarray        # [nrow] initial J levels (int32)
+    raman_dnu: jnp.ndarray       # [nrow] wavenumber shifts
+    raman_pollack_row: jnp.ndarray  # [nwno] legacy Pollack factor
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +80,17 @@ class SpectrumConfig:
     raman: int = 2                        # 0 oklopcic 1 pollack 2 none
     delta_eddington: bool = True
     stream: int = 2
+    # RT scheme: 0 = Toon89 two-stream (fluxes.py:1010/:1683), 1 = Rooney
+    # spherical-harmonics 2/4-stream (fluxes.py:2675/:2979, `stream` picks
+    # 2 vs 4).  SH integer options follow config.json approx.rt_params.SH.
+    rt_method: int = 0
+    sh_w_single_form: int = 0
+    sh_w_multi_form: int = 0
+    sh_psingle_form: int = 0
+    sh_w_single_rayleigh: int = 1
+    sh_w_multi_rayleigh: int = 1
+    sh_psingle_rayleigh: int = 1
+    sh_single_form: int = 0
     test_mode: Optional[str] = None
     cos_theta: float = 1.0
     hard_surface: bool = False
@@ -88,12 +106,23 @@ class SpectrumConfig:
         return dict(self.mix_index)[name]
 
 
-def _raman_factor(config, scene, nwno, raman_pollack_row=None):
-    if config.raman == 1 and raman_pollack_row is not None:
-        return jnp.broadcast_to(raman_pollack_row[None, :],
-                                (scene.tlayer.shape[0], nwno))
-    return jnp.full((scene.tlayer.shape[0], nwno), 0.99999,
-                    scene.cld_opd.dtype)
+def _raman_factor(config, scene, wno, nwno):
+    """Raman single-scattering factor [nlayer, nwno] — same three modes as
+    the stepwise API (justdoit raman wiring / optics.py:286-306): 0 =
+    Oklopcic (in-jit, from the scene's precomputed stellar shift ratios),
+    1 = Pollack (precomputed row), 2 = none."""
+    nlayer = scene.tlayer.shape[0]
+    dtype = scene.cld_opd.dtype
+    if config.raman == 0:
+        from .raman import raman_factor_oklopcic
+        rf = raman_factor_oklopcic(wno, scene.raman_shifts.T, scene.tlayer,
+                                   scene.raman_c, scene.raman_ji,
+                                   scene.raman_dnu)
+        return jnp.minimum(rf, 0.99999).astype(dtype)
+    if config.raman == 1:
+        row = jnp.minimum(scene.raman_pollack_row, 0.99999).astype(dtype)
+        return jnp.broadcast_to(row[None, :], (nlayer, nwno))
+    return jnp.full((nlayer, nwno), 0.99999, dtype)
 
 
 @partial(jax.jit, static_argnames=('config',))
@@ -151,7 +180,7 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
 
     tauray = assemble.rayleigh_tau(scene.sigma_ray, scene.mix_ray,
                                    scene.colden, scene.mmw_layer)
-    rf = _raman_factor(config, scene, nwno)
+    rf = _raman_factor(config, scene, grid.wno, nwno)
 
     props = combine_optics(taugas.astype(dtype), tauray.astype(dtype),
                            scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,
@@ -160,6 +189,35 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                            stream=config.stream)
 
     out = {}
+    if config.rt_method == 1:
+        from .rt import sh as sh_mod
+        if config.reflected:
+            xint = sh_mod.reflected_sh(
+                props, scene.surf_reflect, scene.ubar0, scene.ubar1,
+                config.cos_theta, scene.F0PI, stream=config.stream,
+                controls=config.controls,
+                w_single_form=config.sh_w_single_form,
+                w_multi_form=config.sh_w_multi_form,
+                psingle_form=config.sh_psingle_form,
+                w_single_rayleigh=config.sh_w_single_rayleigh,
+                w_multi_rayleigh=config.sh_w_multi_rayleigh,
+                psingle_rayleigh=config.sh_psingle_rayleigh,
+                single_form=config.sh_single_form)
+            out['albedo'] = disco_mod.compress_disco(
+                xint, scene.gweight, scene.tweight, config.cos_theta,
+                scene.F0PI)
+        if config.thermal:
+            flux_top, _ = sh_mod.thermal_sh(
+                scene.tlevel, props, scene.plevel, scene.ubar1,
+                scene.surf_reflect, grid.wno, stream=config.stream,
+                hard_surface=config.hard_surface)
+            out['thermal'] = disco_mod.compress_thermal(
+                flux_top, scene.gweight, scene.tweight)
+        if config.transmission:
+            out['transit_depth'] = transit_depth(
+                scene.z, scene.dz, scene.rstar, scene.mmw_layer,
+                scene.plevel, scene.tlevel, scene.colden, props.dtau_og)
+        return out
     if config.reflected:
         if config.use_pallas:
             from .rt.pallas_toon import reflected_pallas
@@ -208,7 +266,10 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
 def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
                       gravity, radius=np.nan, mass=np.nan, p_reference=1.0,
                       num_gangle=10, cld=None, F0PI=None, rstar=np.nan,
-                      rayleigh_species=None, dtype=np.float32):
+                      rayleigh_species=None, dtype=np.float32,
+                      geom=None, surf_reflect=None,
+                      raman_shifts=None, raman_db=None,
+                      raman_pollack_row=None):
     """Build (SceneTensors, SpectrumConfig) from plain arrays.
 
     Host-side, once per scene structure; afterwards ``forward`` is pure
@@ -224,7 +285,9 @@ def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
                            p_reference=p_reference, wno=wno,
                            cld_profile=cld, cld_wno=None if cld is None
                            else wno)
-    geom = disco_mod.make_geometry(0.0, num_gangle=num_gangle, num_tangle=1)
+    if geom is None:
+        geom = disco_mod.make_geometry(0.0, num_gangle=num_gangle,
+                                       num_tangle=1)
 
     used = [m for m in atm.molecules if m in grid.molecules]
     mol_indices = tuple(grid.molecules.index(m) for m in used)
@@ -270,19 +333,41 @@ def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
         tweight=jnp.asarray(geom.tweight, dtype),
         F0PI=jnp.asarray(F0PI if F0PI is not None else np.ones(nwno),
                          dtype),
-        surf_reflect=jnp.zeros(nwno, dtype),
-        rstar=jnp.asarray(rstar, dtype))
+        surf_reflect=(jnp.zeros(nwno, dtype) if surf_reflect is None
+                      else jnp.broadcast_to(
+                          jnp.asarray(surf_reflect, dtype), (nwno,))),
+        rstar=jnp.asarray(rstar, dtype),
+        raman_shifts=(jnp.asarray(np.asarray(raman_shifts).T, dtype)
+                      if raman_shifts is not None
+                      else jnp.zeros((0, nwno), dtype)),
+        raman_c=(jnp.asarray(raman_db['c'].values, dtype)
+                 if raman_db is not None else jnp.zeros(0, dtype)),
+        raman_ji=(jnp.asarray(raman_db['ji'].values, jnp.int32)
+                  if raman_db is not None else jnp.zeros(0, jnp.int32)),
+        raman_dnu=(jnp.asarray(raman_db['deltanu'].values, dtype)
+                   if raman_db is not None else jnp.zeros(0, dtype)),
+        raman_pollack_row=(jnp.asarray(raman_pollack_row, dtype)
+                           if raman_pollack_row is not None
+                           else jnp.ones(nwno, dtype)))
     config = SpectrumConfig(mol_indices=mol_indices,
                             continuum_specs=specs,
                             cont_indices=cont_indices,
                             mix_index=mix_index,
+                            cos_theta=float(getattr(geom, 'cos_theta', 1.0)),
                             transmission=np.isfinite(rstar))
     return scene, config
 
 
 def scene_from_case(case, opa, dtype=np.float32):
-    """SceneTensors/SpectrumConfig from a justdoit.inputs bundle."""
-    import pandas as pd
+    """SceneTensors/SpectrumConfig from a justdoit.inputs bundle.
+
+    Translates the full approx tree (justdoit.py:4635 semantics) into the
+    static config — rt scheme (Toon/SH + stream), phase-function controls,
+    delta-Eddington, and the Raman mode, so the fused path runs the same
+    physics as the stepwise API for every approx setting.
+    """
+    import dataclasses as _dc
+
     prof = case.inputs['atmosphere']['profile']
     mix = {c: np.asarray(prof[c]) for c in prof.keys()
            if c not in ('pressure', 'temperature')}
@@ -297,14 +382,63 @@ def scene_from_case(case, opa, dtype=np.float32):
             m = np.reshape(np.asarray(cp[k]), (nlayer, len(cld_wno)))
             cld[k] = regrid(m, cld_wno, np.asarray(opa.wno)).ravel()
     planet = case.inputs['planet']
-    return scene_from_arrays(
+
+    approx = case.inputs['approx']
+    common = approx['rt_params']['common']
+    toon_p = approx['rt_params']['toon']
+    sh = approx['rt_params']['SH']
+    raman = common['raman']
+    nlayer = len(np.asarray(prof['pressure'])) - 1
+
+    raman_shifts = raman_db = pollack_row = None
+    if raman == 0:
+        if getattr(opa, 'raman_stellar_shifts', None) is None:
+            raise ValueError("raman='oklopcic' needs star() run first")
+        raman_shifts = np.asarray(opa.raman_stellar_shifts)
+        raman_db = opa.raman_db
+    elif raman == 1:
+        from .raman import raman_factor_pollack
+        from .refdata import refdata_path
+        pollack_row = raman_factor_pollack(
+            1, 1e4 / np.asarray(opa.wno),
+            refdata_dir=os.path.dirname(os.path.dirname(
+                refdata_path('opacities', 'raman.txt'))))[0]
+
+    scene, config = scene_from_arrays(
         np.asarray(prof['pressure']), np.asarray(prof['temperature']), mix,
         opa.grid, gravity=planet['gravity'] or np.nan,
         radius=planet['radius'] or np.nan, mass=planet['mass'] or np.nan,
-        p_reference=case.inputs['approx']['p_reference'],
+        p_reference=approx['p_reference'],
         cld=cld,
         F0PI=(np.asarray(opa.relative_flux)
               if opa.relative_flux is not None else None),
         rstar=case.inputs['star'].get('radius', np.nan)
         if isinstance(case.inputs['star'].get('radius'), float) else np.nan,
-        dtype=dtype)
+        dtype=dtype,
+        geom=case.inputs.get('disco'),
+        surf_reflect=case.inputs.get('surface_reflect', 0.0),
+        raman_shifts=raman_shifts, raman_db=raman_db,
+        raman_pollack_row=pollack_row)
+
+    frac = common['TTHG_params']['fraction']
+    controls = toon.ScatteringControls(
+        single_phase=toon_p['single_phase'],
+        multi_phase=toon_p['multi_phase'],
+        toon_coefficients=toon_p.get('toon_coefficients', 0),
+        frac_a=frac[0], frac_b=frac[1], frac_c=frac[2],
+        constant_back=common['TTHG_params']['constant_back'],
+        constant_forward=common['TTHG_params']['constant_forward'])
+    config = _dc.replace(
+        config, controls=controls, raman=raman,
+        delta_eddington=common['delta_eddington'],
+        stream=common['stream'],
+        rt_method=1 if approx['rt_method'] == 'SH' else 0,
+        sh_w_single_form=sh['w_single_form'],
+        sh_w_multi_form=sh['w_multi_form'],
+        sh_psingle_form=sh['psingle_form'],
+        sh_w_single_rayleigh=sh['w_single_rayleigh'],
+        sh_w_multi_rayleigh=sh['w_multi_rayleigh'],
+        sh_psingle_rayleigh=sh['psingle_rayleigh'],
+        sh_single_form=sh['single_form'],
+        hard_surface=bool(case.inputs.get('hard_surface', 0)))
+    return scene, config

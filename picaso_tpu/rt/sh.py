@@ -28,19 +28,50 @@ from .toon import ScatteringControls, blackbody, _dither_u0
 __all__ = ['block_tridiag_solve', 'reflected_sh', 'thermal_sh', 'legP']
 
 _CLIP = 35.0
-# Thin-layer mode-separation floor, f32 only: at lam*dtau -> 0 the
-# growing/decaying exponential modes degenerate and the block-Thomas
-# elimination suffers ~1e6 element growth — tolerable in the reference's
-# float64 scipy solve (fluxes.py:3610-3628) and in our f64 CPU path, fatal
-# at f32 on TPU.  Flooring the exponent at 1e-2 bounds the growth while
-# perturbing the affected (optically near-invisible) layers by O(1e-2);
-# f64 keeps the exact exponent so conservative-scattering physics
-# (lam -> 0 diffusion mode) is untouched where precision allows it.
-_THIN32 = 1e-2
+# The SH mode-coefficient system is a two-point BVP whose blocks go
+# singular as lam*dtau -> 0 (growing/decaying exponential modes
+# degenerate for optically thin layers): its condition number scales
+# like 1/dtau^2, so BOTH the assembly and the block-Thomas solve need
+# float64 — measured at f32 on the production-shaped bench problem the
+# albedo error is O(10-100%) broadband, and the earlier exponent-floor
+# mitigation merely traded NaNs for quietly-wrong answers.  The
+# reference only ever runs this path in float64 scipy
+# (fluxes.py:3610-3628).  The public entry points below therefore
+# promote f32 inputs to f64 internally (TPUs execute emulated f64
+# correctly — slower, but right) and cast back; if x64 is disabled,
+# they raise with instructions instead of returning garbage.
+_THIN32 = 0.0
 
 
 def _thin_floor(dtype):
     return _THIN32 if dtype == jnp.float32 else 0.0
+
+
+def _require_f64(arrays):
+    """Promote a pytree of SH inputs to f64 (see conditioning note above).
+
+    Returns (promoted_pytree, restore) where restore(x) casts outputs
+    back to the original dtype.
+    """
+    leaves = jax.tree_util.tree_leaves(arrays)
+    dt = jnp.result_type(*[x.dtype for x in leaves
+                           if hasattr(x, 'dtype')])
+    if dt == jnp.float64:
+        return arrays, lambda x: x
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            'The SH 2/4-stream solver needs float64: its layer-mode '
+            'system is ill-conditioned (cond ~ 1/dtau^2 for thin '
+            'layers) and f32 yields O(1) spectral errors. Enable it '
+            'with jax.config.update("jax_enable_x64", True) — float64 '
+            'executes correctly (emulated) on TPU — or use the Toon89 '
+            'path (rt_method="toon") which is f32-stable.')
+    promoted = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, arrays)
+    return promoted, lambda x: jax.tree_util.tree_map(
+        lambda y: y.astype(dt), x)
 
 
 def legP(mu, nmax=4):
@@ -68,15 +99,44 @@ def _scaled_bet(exptrm_lam, trans_u1, beta, dtau, eps=1e-4):
     return jnp.where(jnp.abs(beta) < eps, limit, num / safe)
 
 
+def _gauss_solve(A, B):
+    """Batched s x s solve A @ X = B via explicit partial-pivot Gaussian
+    elimination (A [..., s, s], B [..., s, k]).
+
+    Written in plain jnp arithmetic because lax.linalg LU has no float64
+    lowering on TPU — and the SH solve must run in f64 there (see the
+    conditioning note at the top of this module).  s is 2 or 4, so the
+    unrolled loop stays tiny.
+    """
+    s = A.shape[-1]
+    M = jnp.concatenate([A, B], axis=-1)            # [..., s, s+k]
+    ar = jnp.arange(s)
+    for i in range(s):
+        # partial pivot: row j >= i maximizing |M[..., j, i]|
+        col = jnp.abs(M[..., :, i])
+        col = jnp.where(ar >= i, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)                # [...]
+        perm = jnp.where(ar == i, p[..., None],
+                         jnp.where(ar == p[..., None], i, ar))
+        M = jnp.take_along_axis(M, perm[..., None], axis=-2)
+        piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
+        fac = M[..., :, i:i + 1]
+        elim = jnp.where((ar != i)[..., None], fac * piv, 0.0)
+        M = M - elim
+        M = M.at[..., i, :].set(piv[..., 0, :])
+    return M[..., s:]
+
+
 def block_tridiag_solve(A, B, C, D, refine=1):
     """Solve the block-tridiagonal system with s x s blocks.
 
     A, B, C: [n, s, s, nwno] (A[0] and C[-1] ignored); D: [n, s, nwno].
     Block-Thomas forward elimination + back substitution; the s x s solves
-    batch over the wavelength axis via jnp.linalg.solve.  ``refine`` steps
-    of iterative refinement (residual re-solve through the same sweep)
-    recover the accuracy the unpivoted block recursion loses in f32 — the
-    reference leans on float64 scipy here (fluxes.py:3610-3628).
+    batch over the wavelength axis via :func:`_gauss_solve` (explicit
+    pivoted elimination — f64-capable on TPU, unlike lax.linalg LU).
+    ``refine`` steps of iterative refinement (residual re-solve through
+    the same sweep) tighten the block recursion further; the reference
+    leans on float64 scipy here (fluxes.py:3610-3628).
     Returns y [n, s, nwno].
     """
     # reorder to [n, nwno, s, s] for batched small solves
@@ -89,8 +149,8 @@ def block_tridiag_solve(A, B, C, D, refine=1):
         Cp_prev, Dp_prev = carry
         Ak, Bk, Ck, Dk = row
         denom = Bk - Ak @ Cp_prev
-        Cp = jnp.linalg.solve(denom, Ck)
-        Dp = jnp.linalg.solve(denom, Dk - Ak @ Dp_prev)
+        Cp = _gauss_solve(denom, Ck)
+        Dp = _gauss_solve(denom, Dk - Ak @ Dp_prev)
         return (Cp, Dp), (Cp, Dp)
 
     def back(y_next, row):
@@ -99,8 +159,8 @@ def block_tridiag_solve(A, B, C, D, refine=1):
         return y_k, y_k
 
     def solve_rhs(Dv):
-        Cp0 = jnp.linalg.solve(B[0], C[0])
-        Dp0 = jnp.linalg.solve(B[0], Dv[0])
+        Cp0 = _gauss_solve(B[0], C[0])
+        Dp0 = _gauss_solve(B[0], Dv[0])
         (_, _), (Cp_rest, Dp_rest) = jax.lax.scan(
             fwd, (Cp0, Dp0), (A[1:], B[1:], C[1:], Dv[1:]))
         Cp = jnp.concatenate([Cp0[None], Cp_rest], axis=0)
@@ -521,6 +581,8 @@ def reflected_sh(props, surf_reflect, ubar0, ubar1, cos_theta, F0PI,
     Returns xint_at_top [ng, nt, nwno].
     """
     ng, nt = ubar0.shape
+    ((props, surf_reflect, ubar0, ubar1, F0PI),
+     restore) = _require_f64((props, surf_reflect, ubar0, ubar1, F0PI))
 
     def per_angle(u0, u1):
         return _reflected_sh_one_angle(
@@ -529,7 +591,7 @@ def reflected_sh(props, surf_reflect, ubar0, ubar1, cos_theta, F0PI,
             w_multi_rayleigh, psingle_rayleigh, single_form, b_top)
 
     xint = jax.vmap(per_angle)(ubar0.reshape(-1), ubar1.reshape(-1))
-    return xint.reshape(ng, nt, -1)
+    return restore(xint.reshape(ng, nt, -1))
 
 
 @partial(jax.jit, static_argnames=('stream', 'hard_surface'))
@@ -539,6 +601,9 @@ def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
 
     Returns (flux_at_top [ng, nt, nwno], None).
     """
+    out_dtype = props.dtau.dtype
+    ((tlevel, props, plevel, ubar1, surf_reflect),
+     _restore) = _require_f64((tlevel, props, plevel, ubar1, surf_reflect))
     dtau, tau, w0 = props.dtau, props.tau, props.w0
     cosb, cosb_og = props.cosb, props.cosb_og
     nlayer, nwno = dtau.shape
@@ -635,4 +700,4 @@ def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
 
     ng, nt = ubar1.shape
     flux = jax.vmap(per_angle)(ubar1.reshape(-1))
-    return flux.reshape(ng, nt, nwno), None
+    return flux.reshape(ng, nt, nwno).astype(out_dtype), None
