@@ -50,7 +50,11 @@ def create_grid(min_wavelength, max_wavelength, constant_R):
     spacing = (2.0 * constant_R + 1.0) / (2.0 * constant_R - 1.0)
     npts = np.log(max_wavelength / min_wavelength) / np.log(spacing)
     wsize = int(np.ceil(npts)) + 1
-    newwl = min_wavelength * spacing ** np.arange(wsize)
+    # cumprod = the reference's sequential newwl[j] = newwl[j-1]*spacing,
+    # bit-identical (spacing**arange drifts by ~1e-12 over 1e6 points)
+    newwl = np.concatenate(
+        [[min_wavelength],
+         min_wavelength * np.cumprod(np.full(wsize - 1, spacing))])
     return 1e4 / newwl[::-1]
 
 
