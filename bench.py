@@ -1,21 +1,34 @@
-"""Headline benchmark: full-resolution 1D reflected+thermal spectrum rate.
+"""Benchmarks for every BASELINE.md config, at production workload shapes.
 
-Workload (BASELINE.md config 1+2 merged): nwno = 50,000 monochromatic
-wavelength points, 90 layers, 6 molecules + 2 CIA continua + Rayleigh,
-cloudy, 5 half-sphere Gauss disk angles — the same shape as the reference's
-R=15k sqlite workload.  Metric: complete spectra per second on the attached
-accelerator, steady-state (post-compile), with temperatures perturbed every
-call so nothing is cached.
+Headline metric (the printed JSON line's value): full-resolution 1D
+reflected+thermal spectrum rate at the PRODUCTION opacity-table shape —
+the ragged 1060-point (T, P) grid of the real monochromatic DBs, 16
+molecules, nwno = 50,000 (R~15k window), 90 layers, 2 CIA continua,
+Rayleigh, cloudy, 10 half-sphere Gauss disk angles.  The opacity cube is
+synthetic-valued but production-SIZED (16 x 1060 x 50k f32 = 3.4 GB in
+HBM), so HBM pressure, the ragged index math, and molecule count match
+the real workload.  Steady-state rate, temperatures perturbed every call.
 
-``vs_baseline``: ratio against a single-host CPU run of the same program
-(measured in a JAX_PLATFORMS=cpu subprocess on a wavelength slice and scaled
-linearly to full resolution).  Note XLA-CPU is itself faster than the
-reference's per-wavelength numba loops, so this ratio *understates* the
-speedup over the actual reference baseline.
+The other BASELINE configs ride in the same JSON line under "extra":
+  - climate_s / climate_warm_s: brown-dwarf RCE end-to-end wall-clock
+    (91 levels, 196-bin CK x 8 gauss — the legacy-EGP production shape),
+    target < 60 s.
+  - sh4_spectra_per_s: SH 4-stream reflected+thermal rate (f64 on TPU —
+    the SH mode-coefficient BVP needs float64, see rt/sh.py; run in an
+    x64 subprocess).
+  - transit_spectra_per_s: full-res transmission rate.
+  - vs_reference_numpy: measured rate of the ACTUAL reference
+    implementation (numba shimmed to pure numpy — numba isn't installed
+    here; note compiled numba would be faster than this numpy figure) on
+    the same physics at a wavelength slice, scaled linearly in nwno.
+  - vs_baseline (top-level): ratio against this same XLA program on one
+    CPU host — a conservative lower bound (XLA-CPU already beats the
+    reference's loops).
 
 Prints exactly one JSON line.
 """
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -28,57 +41,200 @@ NWNO = 50_000
 NLEVEL = 91
 N_ITER = 15
 
+MOLECULES_16 = ('H2O', 'CH4', 'CO', 'NH3', 'CO2', 'H2S', 'TiO', 'VO',
+                'Na', 'K', 'FeH', 'C2H2', 'HCN', 'PH3', 'SO2', 'CrH')
+MIX_16 = {'H2O': 1e-3, 'CH4': 5e-4, 'CO': 3e-4, 'NH3': 1e-4, 'CO2': 1e-5,
+          'H2S': 3e-5, 'TiO': 1e-7, 'VO': 1e-8, 'Na': 1e-6, 'K': 1e-7,
+          'FeH': 1e-8, 'C2H2': 1e-7, 'HCN': 1e-7, 'PH3': 1e-6,
+          'SO2': 1e-8, 'CrH': 1e-9}
 
-def build_problem(nwno, dtype=np.float32):
+
+def build_problem(nwno, dtype=np.float32, nlevel=NLEVEL, production=True):
+    """Scene + grid + config at the requested size.
+
+    production=True uses the ragged 1060-point PT grid with 16 molecules
+    (the real table shape); False keeps a small regular grid (used by
+    tests and the verify drives for quick iteration).
+    """
     from picaso_tpu.opacities import factory
     from picaso_tpu import pipeline
 
     wno = np.linspace(300.0, 33000.0, nwno)  # ~0.3-33 um
-    grid = factory.synthetic_opacity_grid(
-        wno, molecules=('H2O', 'CH4', 'CO', 'NH3', 'CO2', 'H2S'),
-        ntemp=15, npress=10, dtype=dtype)
-    pressure = np.logspace(-6, 2.5, NLEVEL)
+    if production:
+        grid = factory.synthetic_opacity_grid_ragged(
+            wno, molecules=MOLECULES_16, dtype=dtype)
+        mix_vals = MIX_16
+    else:
+        grid = factory.synthetic_opacity_grid(
+            wno, molecules=('H2O', 'CH4', 'CO', 'NH3', 'CO2', 'H2S'),
+            ntemp=15, npress=10, dtype=dtype)
+        mix_vals = {m: MIX_16[m] for m in grid.molecules}
+    pressure = np.logspace(-6, 2.5, nlevel)
     temperature = np.clip(1200.0 * (pressure / 50.0) ** 0.08, 150.0, None)
-    nlevel = NLEVEL
-    mix = {'H2': np.zeros(nlevel) + 0.84, 'He': np.zeros(nlevel) + 0.155,
-           'H2O': np.zeros(nlevel) + 1e-3, 'CH4': np.zeros(nlevel) + 5e-4,
-           'CO': np.zeros(nlevel) + 3e-4, 'NH3': np.zeros(nlevel) + 1e-4,
-           'CO2': np.zeros(nlevel) + 1e-5, 'H2S': np.zeros(nlevel) + 1e-5}
+    mix = {'H2': np.zeros(nlevel) + 0.84, 'He': np.zeros(nlevel) + 0.155}
+    for m, v in mix_vals.items():
+        mix[m] = np.zeros(nlevel) + v
     nlayer = nlevel - 1
     cld = {'opd': np.repeat(np.linspace(0.0, 1.0, nlayer) ** 2, nwno),
            'g0': np.zeros(nlayer * nwno) + 0.85,
            'w0': np.zeros(nlayer * nwno) + 0.95}
     scene, config = pipeline.scene_from_arrays(
         pressure, temperature, mix, grid, gravity=2500.0,
-        radius=7.1492e9, mass=1.898e30, cld=cld, dtype=dtype)
-    import dataclasses
+        radius=7.1492e9, mass=1.898e30, cld=cld, rstar=6.96e10,
+        dtype=dtype)
     import jax
     config = dataclasses.replace(
         config, use_pallas=jax.default_backend() not in ('cpu', 'gpu'))
     return scene, grid, config
 
 
-def measure(nwno, n_iter, dtype=np.float32):
+def _rate(fn, scenes, n_iter):
     import jax
+    out = fn(scenes[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for s in scenes[1:n_iter + 1]:
+        out = fn(s)
+    jax.block_until_ready(out)
+    return n_iter / (time.perf_counter() - t0)
+
+
+def _perturbed(scene, n):
+    return [scene._replace(tlevel=scene.tlevel * (1 + 0.001 * i),
+                           tlayer=scene.tlayer * (1 + 0.001 * i))
+            for i in range(n + 1)]
+
+
+def measure(nwno, n_iter, dtype=np.float32, production=True,
+            config_patch=None):
     from picaso_tpu import pipeline
 
-    scene, grid, config = build_problem(nwno, dtype)
-    out = pipeline.forward(scene, grid, config)   # compile
-    jax.block_until_ready(out)
+    scene, grid, config = build_problem(nwno, dtype, production=production)
+    if config_patch:
+        config = dataclasses.replace(config, **config_patch)
+    scenes = _perturbed(scene, n_iter)
+    return _rate(lambda s: pipeline.forward(s, grid, config), scenes,
+                 n_iter)
 
-    # pre-stage the perturbed scenes so host work is out of the timing loop
-    scenes = [scene._replace(tlevel=scene.tlevel * (1 + 0.001 * i),
-                             tlayer=scene.tlayer * (1 + 0.001 * i))
-              for i in range(n_iter)]
-    jax.block_until_ready(scenes)
 
-    t0 = time.perf_counter()
-    outs = None
-    for s in scenes:
-        outs = pipeline.forward(s, grid, config)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    return n_iter / dt
+def measure_transit(nwno, n_iter):
+    from picaso_tpu import pipeline
+
+    scene, grid, config = build_problem(nwno)
+    config = dataclasses.replace(config, reflected=False, thermal=False,
+                                 transmission=True)
+    scenes = _perturbed(scene, n_iter)
+    return _rate(lambda s: pipeline.forward(s, grid, config), scenes,
+                 n_iter)
+
+
+_CLIMATE_CODE = r'''
+import json, time
+import numpy as np
+t0 = time.perf_counter()
+from picaso_tpu import justdoit as jdi
+from picaso_tpu.opacities.ck import synthetic_ck_table
+opa_ck = jdi.opannection(ck_table=synthetic_ck_table(),
+                         method='preweighted')
+case = jdi.inputs(calculation='brown')
+case.phase_angle(0)
+case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
+case.effective_temp(700.0)
+case.setup_nostar()
+case.setup_climate()
+nlevel = {nlevel}
+pressure = np.logspace(-4, 2.5, nlevel)
+guess = np.clip(700.0 * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
+case.inputs_climate(temp_guess=guess, pressure=pressure,
+                    rcb_guess=nlevel - 20, rfacv=0.0)
+out = case.climate(opa_ck, verbose=False)
+print(json.dumps({{"s": time.perf_counter() - t0,
+                   "converged": bool(out["converged"])}}))
+'''
+
+
+def measure_climate():
+    """Brown-dwarf RCE end-to-end in FRESH processes (BASELINE: < 60 s).
+
+    Two runs: the first may compile (populating the persistent XLA disk
+    cache picaso_tpu enables by default); the second is the steady-state
+    cold-START number a user sees — new process, warmed disk cache.
+    """
+    code = _CLIMATE_CODE.format(nlevel=NLEVEL)
+
+    def once():
+        res = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True, timeout=1800,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    first = once()
+    second = once()
+    return first['s'], second['s'], bool(second['converged'])
+
+
+def _sh4_subprocess():
+    """SH4 rate in an x64 subprocess (TPU SH runs in f64; x64 would
+    perturb the f32 headline numbers if enabled in this process)."""
+    code = r'''
+import json, time, dataclasses
+import numpy as np
+import jax
+jax.config.update('jax_enable_x64', True)
+import bench
+from picaso_tpu import pipeline
+scene, grid, config = bench.build_problem(2000, production=False)
+cfg = dataclasses.replace(config, rt_method=1, stream=4, use_pallas=False)
+scenes = bench._perturbed(scene, 5)
+rate = bench._rate(lambda s: pipeline.forward(s, grid, cfg), scenes, 5)
+print(json.dumps({"sh4_rate": rate}))
+'''
+    res = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True, timeout=1800,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(res.stdout.strip().splitlines()[-1])['sh4_rate']
+
+
+def _reference_numpy_subprocess():
+    """Time the actual reference (pure numpy via the numba shim) on the
+    same physics at a wavelength slice; returns spectra/s scaled to NWNO."""
+    code = r'''
+import json, sys, time
+import numpy as np
+sys.path.insert(0, 'tests')
+import refshim
+jdi_ref = refshim.load_reference('justdoit')
+from picaso_tpu.opacities import factory
+nwno = 2000
+wno = np.linspace(300.0, 33000.0, nwno)
+db = '/tmp/bench_ref_syn.db'
+import os
+if not os.path.exists(db):
+    factory.build_synthetic_db(db, wno,
+        molecules=('H2O','CH4','CO','NH3','CO2','H2S'), ntemp=10, npress=8)
+opa = jdi_ref.opannection(filename_db=db)
+opa.get_opacities = type(opa).get_opacities.__get__(opa)
+case = jdi_ref.inputs()
+case.phase_angle(0, num_gangle=10, num_tangle=1)
+case.gravity(gravity=25, gravity_unit=jdi_ref.u.Unit('m/(s**2)'))
+case.setup_nostar()
+case.atmosphere(filename=jdi_ref.jupiter_pt(), sep=r'\s+')
+case.approx(raman='none')
+case.spectrum(opa, calculation='thermal')       # warm caches
+n = 3
+t0 = time.perf_counter()
+for i in range(n):
+    case.spectrum(opa, calculation='reflected+thermal')
+dt = (time.perf_counter() - t0) / n
+print(json.dumps({"ref_rate_at_slice": 1.0/dt, "nwno": nwno}))
+'''
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    res = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True, timeout=1800, env=env,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    d = json.loads(res.stdout.strip().splitlines()[-1])
+    # reference cost is linear in nwno (per-wavelength loops)
+    return d['ref_rate_at_slice'] * d['nwno'] / NWNO
 
 
 def main():
@@ -87,15 +243,39 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
         nwno_cpu = 5_000
-        rate = measure(nwno_cpu, 5)
-        # linear scaling in nwno (workload is embarrassingly parallel there)
+        rate = measure(nwno_cpu, 5, production=False)
         print(json.dumps({'cpu_rate_full': rate * nwno_cpu / NWNO}))
         return
 
     import jax
     rate = measure(NWNO, N_ITER)
 
-    # CPU baseline in a clean subprocess (this process owns the TPU backend)
+    extra = {}
+    try:
+        first, fresh, converged = measure_climate()
+        extra['climate_s'] = round(fresh, 2)   # fresh process, warm cache
+        extra['climate_first_compile_s'] = round(first, 2)
+        extra['climate_converged'] = converged
+    except Exception as e:
+        extra['climate_error'] = f'{type(e).__name__}: {e}'[:200]
+    try:
+        extra['transit_spectra_per_s'] = round(
+            measure_transit(NWNO, N_ITER), 2)
+    except Exception as e:
+        extra['transit_error'] = f'{type(e).__name__}: {e}'[:200]
+    try:
+        extra['sh4_spectra_per_s'] = round(_sh4_subprocess(), 3)
+        extra['sh4_note'] = 'f64 (x64 subprocess), nwno=2000'
+    except Exception as e:
+        extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
+    try:
+        ref_rate = _reference_numpy_subprocess()
+        extra['reference_numpy_spectra_per_s'] = round(ref_rate, 5)
+        extra['vs_reference_numpy'] = round(rate / ref_rate, 1)
+    except Exception as e:
+        extra['reference_error'] = f'{type(e).__name__}: {e}'[:200]
+
+    # CPU baseline of the same XLA program in a clean subprocess
     try:
         env = dict(os.environ, JAX_PLATFORMS='cpu')
         res = subprocess.run(
@@ -109,13 +289,15 @@ def main():
         vs_baseline = float('nan')
 
     print(json.dumps({
-        'metric': 'full-res 1D reflected+thermal spectra/sec '
-                  f'(nwno={NWNO}, nlevel={NLEVEL}, '
+        'metric': '1D reflected+thermal spectra/sec at production table '
+                  f'shape (1060-pt ragged PT grid, 16 molecules, '
+                  f'nwno={NWNO}, nlevel={NLEVEL}, '
                   f'{jax.devices()[0].platform})',
         'value': round(rate, 4),
         'unit': 'spectra/s',
         'vs_baseline': (round(vs_baseline, 2)
                         if vs_baseline == vs_baseline else None),
+        'extra': extra,
     }))
 
 

@@ -20,12 +20,14 @@ import sqlite3
 import zlib
 from typing import Sequence
 
+import jax
 import numpy as np
 
 from .db import PTGrid, OpacityGrid, _adapt_array
 
 __all__ = ['synthetic_cross_sections', 'build_synthetic_db',
-           'synthetic_opacity_grid', 'default_pt_grid']
+           'synthetic_opacity_grid', 'default_pt_grid',
+           'production_pt_grid', 'synthetic_opacity_grid_ragged']
 
 
 def default_pt_grid(ntemp=20, npress=15):
@@ -152,6 +154,120 @@ def synthetic_opacity_grid(wno, molecules=('H2O', 'CH4', 'CO', 'NH3'),
                 p_log_grid=jnp.asarray(np.log10(pressures), dtype),
                 nc_p=jnp.asarray(nc_p), t_offset=jnp.asarray(t_offset))
     return OpacityGrid(wno=jnp.asarray(wno), log_kappa=jnp.asarray(log_kappa),
+                       pt=pt, cont_opa=jnp.asarray(cont),
+                       cia_temps=jnp.asarray(cia_temps, dtype),
+                       molecules=tuple(molecules),
+                       continuum_molecules=tuple(continuum))
+
+
+def production_pt_grid():
+    """The ragged 1060-point (T, P) grid of the production monochromatic
+    DBs (60 temperatures x 15-18 pressures each; layout read from the
+    bundled Visscher chemistry table which is tabulated on that grid).
+
+    Returns (temps_flat [1060], press_flat [1060], nc_p [60]).
+    """
+    from ..refdata import refdata_path
+    import pandas as pd
+
+    df = pd.read_csv(refdata_path('chemistry',
+                                  '2015_06_1060grid_feh_00_co_10.txt'),
+                     sep=r'\s+', skiprows=1, header=None,
+                     usecols=[0, 1], names=['T', 'logP'])
+    temps_flat = df['T'].values.astype(np.float64)
+    press_flat = (10.0 ** df['logP'].values).astype(np.float64)
+    _, idx, counts = np.unique(temps_flat, return_index=True,
+                               return_counts=True)
+    order = np.argsort(idx)
+    nc_p = counts[order].astype(np.int32)
+    return temps_flat, press_flat, nc_p
+
+
+def _band_sigma_flat(molecule, wno, temps_flat, press_flat, seed=1234,
+                     n_bands=12):
+    """Vectorized band-model cross sections on a FLAT ragged PT list.
+
+    Same band model as :func:`synthetic_cross_sections`, evaluated ON
+    DEVICE with a single jitted program (one [npt, nwno] table per call)
+    — building the 16 x 1060 x 50k production-shaped cube takes seconds
+    instead of the minutes a host-numpy sweep costs, and the result never
+    round-trips through host memory.  Returns log10 sigma [npt, nwno]
+    (float32, device array).
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(zlib.crc32(molecule.encode()) + seed)
+    wmin, wmax = wno.min(), wno.max()
+    centers = rng.uniform(wmin, wmax, n_bands)
+    widths = rng.uniform(0.01, 0.08, n_bands) * (wmax - wmin)
+    strengths = 10 ** rng.uniform(-26, -21, n_bands)
+    t_exp = rng.uniform(-1.0, 1.5, n_bands)
+    return _band_sigma_device(
+        jnp.asarray(wno, jnp.float32),
+        jnp.asarray(temps_flat, jnp.float32),
+        jnp.asarray(press_flat, jnp.float32),
+        jnp.asarray(centers, jnp.float32), jnp.asarray(widths, jnp.float32),
+        jnp.asarray(strengths, jnp.float32),
+        jnp.asarray(t_exp, jnp.float32))
+
+
+@jax.jit
+def _band_sigma_device(wno, temps_flat, press_flat, centers, widths,
+                       strengths, t_exp):
+    import jax.numpy as jnp
+
+    broad = 1.0 + 0.15 * jnp.log10(jnp.maximum(press_flat, 1e-6) / 1e-6)
+    tfac = temps_flat / 1000.0                              # [npt]
+    # sigma can underflow f32 (1e-33 floor); compute log10 via a rescale:
+    # s = 1e-33*tfac + sum_b amp_b * tfac^te_b / (1 + d^2), all amp ~1e-26
+    # -> scale by 1e30 so intermediates sit in f32 range, subtract 30 after
+    s = (1e-33 * 1e30) * tfac[:, None] * jnp.ones_like(wno)[None, :]
+
+    def add_band(s, band):
+        c, w, amp, te = band
+        d = (wno[None, :] - c) / (w * broad[:, None])
+        return s + (amp * 1e30) * tfac[:, None] ** te / (1.0 + d * d), None
+
+    s, _ = jax.lax.scan(add_band, s,
+                        (centers, widths, strengths, t_exp))
+    return jnp.log10(s) - 30.0
+
+
+def synthetic_opacity_grid_ragged(wno, molecules, seed=1234,
+                                  dtype=np.float32) -> OpacityGrid:
+    """Production-shaped OpacityGrid: the ragged 1060-point PT grid with
+    synthetic band-model opacities for ``molecules`` (benchmarking the
+    real workload shape — HBM footprint, ragged index math, molecule
+    count — without the 7 GB download)."""
+    import jax.numpy as jnp
+
+    wno = np.asarray(wno, np.float64)
+    temps_flat, press_flat, nc_p = production_pt_grid()
+    log_kappa = jnp.stack([_band_sigma_flat(m, wno, temps_flat, press_flat,
+                                            seed=seed)
+                           for m in molecules]).astype(dtype)
+
+    continuum = ('H2H2', 'H2He')
+    cia_temps = np.linspace(100, 3000, 10)
+    cont = np.zeros((len(continuum), len(cia_temps), len(wno)), dtype)
+    for im, mol in enumerate(continuum):
+        rng = np.random.default_rng(zlib.crc32(mol.encode()))
+        shape = 10 ** (-8 + 2 * np.sin(wno / wno.max() * 6
+                                       + rng.uniform(0, 3)))
+        for it, T in enumerate(cia_temps):
+            cont[im, it] = shape * (T / 1000.0) ** 0.5
+
+    t_offset = np.concatenate([[0], np.cumsum(nc_p)[:-1]]).astype(np.int32)
+    temps = np.array(sorted(set(temps_flat)))
+    # per-T pressure grids share the same log-spaced ladder; take the
+    # longest row as the p_log_grid (shorter rows are guarded by nc_p)
+    imax = int(np.argmax(nc_p))
+    p_row = press_flat[t_offset[imax]:t_offset[imax] + nc_p[imax]]
+    pt = PTGrid(t_inv_grid=jnp.asarray(1.0 / temps, dtype),
+                p_log_grid=jnp.asarray(np.log10(p_row), dtype),
+                nc_p=jnp.asarray(nc_p), t_offset=jnp.asarray(t_offset))
+    return OpacityGrid(wno=jnp.asarray(wno),
+                       log_kappa=jnp.asarray(log_kappa),
                        pt=pt, cont_opa=jnp.asarray(cont),
                        cia_temps=jnp.asarray(cia_temps, dtype),
                        molecules=tuple(molecules),
