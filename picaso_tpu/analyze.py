@@ -53,21 +53,52 @@ class GridFitter:
             raise ValueError('give location= or models=')
 
     def load_grid(self, location, spectra_key='fpfs_thermal'):
-        """Load every stored model in a directory (analyze.py:184)."""
+        """Load every stored model in a directory (analyze.py:184).
+
+        Accepts both this package's .h5 layout and community xarray
+        NetCDF model grids (.nc, the reference's GridFitter format)."""
         import h5py
-        files = sorted(glob.glob(os.path.join(location, '*.h5')))
+        files = sorted(glob.glob(os.path.join(location, '*.h5'))
+                       + glob.glob(os.path.join(location, '*.nc')))
         if not files:
-            raise ValueError(f'no .h5 models found in {location}')
+            raise ValueError(f'no .h5/.nc models found in {location}')
+        # stored-name aliases used by reference-written NetCDF grids
+        nc_aliases = {'fpfs_thermal': 'fpfs_emission',
+                      'thermal': 'flux_emission'}
         spectra, rows = [], []
         wavenumber = None
         for fn in files:
-            with h5py.File(fn, 'r') as f:
-                wavenumber = np.asarray(f['spectra']['wavenumber'])
-                keys = list(f['spectra'])
-                key = spectra_key if spectra_key in keys else [
-                    k for k in keys if k != 'wavenumber'][0]
-                spectra.append(np.asarray(f['spectra'][key]))
-                rows.append(dict(f.attrs))
+            if fn.endswith('.nc'):
+                from .ncio import read_netcdf
+                import json as _json
+                ds = read_netcdf(fn)
+                wavenumber = np.sort(1e4 / ds.coords['wavelength'].values)
+                key = spectra_key if spectra_key in ds.data_vars else \
+                    nc_aliases.get(spectra_key, spectra_key)
+                if key not in ds.data_vars:
+                    key = [k for k, v in ds.data_vars.items()
+                           if v.dims == ('wavelength',)][0]
+                order = np.argsort(1e4 / ds.coords['wavelength'].values)
+                spectra.append(ds[key].values[order])
+                row = {}
+                for k, v in ds.attrs.items():
+                    if isinstance(v, str) and v.lstrip().startswith('{'):
+                        try:
+                            row.update({f'{k}.{kk}': vv for kk, vv in
+                                        _json.loads(v).items()})
+                            continue
+                        except ValueError:
+                            pass
+                    row[k] = v
+                rows.append(row)
+            else:
+                with h5py.File(fn, 'r') as f:
+                    wavenumber = np.asarray(f['spectra']['wavenumber'])
+                    keys = list(f['spectra'])
+                    key = spectra_key if spectra_key in keys else [
+                        k for k in keys if k != 'wavenumber'][0]
+                    spectra.append(np.asarray(f['spectra'][key]))
+                    rows.append(dict(f.attrs))
         self.wavenumber = wavenumber
         self.spectra = np.asarray(spectra)
         self.grid_params = pd.DataFrame(rows)

@@ -16,8 +16,9 @@ import os
 import numpy as np
 import pandas as pd
 
-__all__ = ['read_json', 'read_hdf', 'write_all_profiles', 'read_visscher', 'merge_models',
-           'save_model', 'load_model', 'standard_metadata']
+__all__ = ['read_json', 'read_hdf', 'write_all_profiles', 'read_visscher',
+           'merge_models', 'save_model', 'load_model', 'save_model_nc',
+           'load_model_nc', 'standard_metadata']
 
 
 def read_json(filename, **kwargs):
@@ -65,12 +66,214 @@ def standard_metadata():
     }
 
 
-def save_model(filename, case, out, calculation='all', meta=None):
-    """Persist a computed model: spectra + profile + inputs -> HDF5.
+_SPEC_VARS = {
+    # stored-name: (output-dict key, units) — reference output_xarray
+    # naming (justdoit.py:798-818)
+    'albedo': ('albedo', 'none'),
+    'fpfs_reflected': ('fpfs_reflected',
+                       'erg/cm**2/s/cm/(erg/cm**2/s/cm)'),
+    'flux_emission': ('thermal', 'erg/cm**2/s/cm'),
+    'fpfs_emission': ('fpfs_thermal',
+                      'erg/cm**2/s/cm/(erg/cm**2/s/cm)'),
+    'transit_depth': ('transit_depth', 'R_jup**2/R_jup**2'),
+    'temp_brightness': ('temp_brightness', 'Kelvin'),
+}
 
-    The TPU analog of output_xarray (justdoit.py:705): everything needed to
+
+def _qty(value, unit):
+    return {'value': float(value), 'unit': unit}
+
+
+def save_model_nc(filename, case, out, meta=None):
+    """Persist a computed model as reference-layout NetCDF
+    (output_xarray, justdoit.py:705-980): spectra on a micron
+    'wavelength' coord, profile columns on 'pressure', clouds as
+    opd/ssa/asy on (pressure_layer, wavenumber_layer), and
+    planet/stellar/orbit params as json attrs.  Readable by
+    xarray/netcdf4 and by the reference's input_xarray."""
+    from .ncio import write_netcdf
+
+    meta = meta or {}
+    prof = case.inputs['atmosphere']['profile']
+    pressure = np.asarray(prof['pressure'], np.float64)
+    data_vars = {}
+    coords = {'pressure': (pressure, {'units': 'bar'})}
+    for col in prof.keys():
+        if col == 'pressure':
+            continue
+        units = 'Kelvin' if col == 'temperature' else 'v/v'
+        data_vars[str(col)] = (('pressure',),
+                               np.asarray(prof[col], np.float64),
+                               {'units': units})
+    if isinstance(out, dict) and 'wavenumber' in out:
+        wave = 1e4 / np.asarray(out['wavenumber'], np.float64)
+        order = np.argsort(wave)
+        coords['wavelength'] = (wave[order], {'units': 'micron'})
+        for name, (key, units) in _SPEC_VARS.items():
+            v = out.get(key)
+            if isinstance(v, np.ndarray) and v.shape == wave.shape:
+                data_vars[name] = (('wavelength',), v[order],
+                                   {'units': units})
+    cld = case.inputs['clouds'].get('profile')
+    if cld is not None and not isinstance(cld, dict):
+        cld_wno = np.asarray(case.inputs['clouds']['wavenumber'],
+                             np.float64)
+        nlayer = len(pressure) - 1
+        for store, col in (('opd', 'opd'), ('ssa', 'w0'), ('asy', 'g0')):
+            arr = np.reshape(np.asarray(cld[col], np.float64),
+                             (nlayer, len(cld_wno)))
+            data_vars[store] = (('pressure_layer', 'wavenumber_layer'),
+                                arr, {'units': 'unitless'})
+        coords['pressure_layer'] = (
+            np.sqrt(pressure[1:] * pressure[:-1]), {'units': 'bar'})
+        coords['wavenumber_layer'] = (cld_wno, {'units': 'cm**(-1)'})
+
+    planet = case.inputs['planet']
+    pp = {}
+    if planet.get('mass') and np.isfinite(planet['mass']):
+        pp['mp'] = _qty(planet['mass'], 'g')
+        pp['rp'] = _qty(planet['radius'], 'cm')
+    elif planet.get('gravity'):
+        pp['gravity'] = _qty(planet['gravity'], 'cm/s**2')
+    pref = case.inputs['approx'].get('p_reference')
+    if pref is not None:
+        pp['p_reference'] = _qty(pref, 'bar')
+    star = case.inputs['star']
+    sp = {}
+    for k_store, k_in in (('database', 'database'), ('steff', 'temp'),
+                          ('feh', 'metal'), ('logg', 'logg')):
+        if star.get(k_in) is not None:
+            sp[k_store] = star[k_in]
+    if isinstance(star.get('radius'), (int, float)) and \
+            np.isfinite(star['radius']):
+        sp['rs'] = _qty(star['radius'], 'cm')
+    op = {}
+    if isinstance(star.get('semi_major'), (int, float)) and \
+            np.isfinite(star['semi_major']):
+        op['sma'] = _qty(star['semi_major'], 'cm')
+
+    attrs = {'code': 'picaso_tpu', 'planet_params': pp}
+    if sp:
+        attrs['stellar_params'] = sp
+    if op:
+        attrs['orbit_params'] = op
+    attrs.update(meta)
+    return write_netcdf(filename, data_vars, coords=coords, attrs=attrs)
+
+
+def load_model_nc(filename, opannection=None):
+    """Reconstitute an inputs bundle from a NetCDF model — reference- or
+    picaso_tpu-written (input_xarray, justdoit.py:979-1089)."""
+    from .ncio import read_netcdf
+    from .justdoit import inputs as _inputs
+    from . import units as u
+
+    ds = read_netcdf(filename)
+
+    def parse(v):
+        # attrs are json-encoded dicts, but some reference files carry
+        # python-repr dicts (e.g. cloud_params "{'fsed': 3}")
+        if isinstance(v, str) and v.lstrip().startswith('{'):
+            try:
+                return json.loads(v)
+            except ValueError:
+                import ast
+                try:
+                    return ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    return v
+        return v
+
+    attrs = {k: parse(v) for k, v in ds.attrs.items()}
+
+    pressure = ds.coords['pressure'].values
+    prof = {'pressure': pressure}
+    spectra = {}
+    for name, var in ds.data_vars.items():
+        if var.dims == ('pressure',):
+            prof[name] = var.values
+        elif var.dims == ('wavelength',):
+            inv = {store: out_key for store, (out_key, _) in
+                   _SPEC_VARS.items()}
+            spectra[inv.get(name, name)] = var.values
+    if 'wavelength' in ds.coords:
+        spectra['wavenumber'] = 1e4 / ds.coords['wavelength'].values
+
+    case = _inputs()
+    case.phase_angle(0)
+    pp = attrs.get('planet_params', {})
+    if 'mp' in pp and 'rp' in pp:
+        case.gravity(mass=pp['mp']['value'],
+                     mass_unit=u.Unit(pp['mp']['unit']),
+                     radius=pp['rp']['value'],
+                     radius_unit=u.Unit(pp['rp']['unit']))
+    elif 'gravity' in pp:
+        case.gravity(gravity=pp['gravity']['value'],
+                     gravity_unit=u.Unit(pp['gravity']['unit']))
+    if 'p_reference' in pp:
+        case.approx(p_reference=u.Unit(pp['p_reference']['unit']).to(
+            u.Unit('bar')) * pp['p_reference']['value'])
+    case.atmosphere(df=pd.DataFrame(prof))
+
+    if 'opd' in ds.data_vars:
+        wno_l = (ds.coords['wavenumber_layer'].values
+                 if 'wavenumber_layer' in ds.coords
+                 else None)
+        nlayer, nw = ds['opd'].values.shape
+        if wno_l is None:
+            from .wavelength import get_cld_input_grid
+            wno_l = get_cld_input_grid() if nw == 196 else np.arange(nw)
+        cld_df = pd.DataFrame({
+            'opd': ds['opd'].values.ravel(),
+            'w0': ds['ssa'].values.ravel(),
+            'g0': ds['asy'].values.ravel(),
+            'wavenumber': np.tile(wno_l, nlayer),
+            'pressure': np.repeat(np.sqrt(pressure[1:] * pressure[:-1]),
+                                  nw)})
+        case.clouds(df=cld_df)
+
+    sp = attrs.get('stellar_params', {})
+    if opannection is not None and sp.get('steff') is not None:
+        kw = {}
+        if isinstance(sp.get('rs'), dict):
+            kw.update(radius=sp['rs']['value'],
+                      radius_unit=u.Unit(sp['rs']['unit']))
+        sma = attrs.get('orbit_params', {}).get('sma')
+        if isinstance(sma, dict):
+            kw.update(semi_major=sma['value'],
+                      semi_major_unit=u.Unit(sma['unit']))
+        case.star(opannection, sp['steff'], sp.get('feh', 0.0),
+                  sp.get('logg', 4.5),
+                  database=sp.get('database', 'ck04models'), **kw)
+    return case, spectra, attrs
+
+
+def _is_netcdf(filename):
+    if str(filename).endswith('.nc'):
+        return True
+    import h5py
+    try:
+        with h5py.File(filename, 'r') as f:
+            return '_NCProperties' in f.attrs or any(
+                'DIMENSION_SCALE' == (v.attrs.get('CLASS', b'').decode()
+                                      if isinstance(v.attrs.get('CLASS'),
+                                                    bytes)
+                                      else v.attrs.get('CLASS'))
+                for v in f.values() if isinstance(v, h5py.Dataset))
+    except OSError:
+        return False
+
+
+def save_model(filename, case, out, calculation='all', meta=None):
+    """Persist a computed model: spectra + profile + inputs.
+
+    ``.nc`` paths write the reference's NetCDF layout (save_model_nc);
+    anything else writes the legacy self-describing HDF5 layout.  The TPU
+    analog of output_xarray (justdoit.py:705): everything needed to
     re-plot or re-run lives in one self-describing file.
     """
+    if str(filename).endswith('.nc'):
+        return save_model_nc(filename, case, out, meta=meta)
     import h5py
     meta = meta or {}
     prof = case.inputs['atmosphere']['profile']
@@ -116,7 +319,12 @@ def save_model(filename, case, out, calculation='all', meta=None):
 
 
 def load_model(filename, opannection=None):
-    """Reconstitute an ``inputs`` bundle + stored spectra (input_xarray)."""
+    """Reconstitute an ``inputs`` bundle + stored spectra (input_xarray).
+
+    Auto-detects NetCDF (reference- or picaso_tpu-written) vs the legacy
+    HDF5 layout."""
+    if _is_netcdf(filename):
+        return load_model_nc(filename, opannection=opannection)
     import h5py
     from .justdoit import inputs as _inputs
 

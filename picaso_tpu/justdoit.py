@@ -403,10 +403,14 @@ class inputs:
             self.inputs['atmosphere']['exclude_mol'] = full
 
     def atmosphere_3d(self, data, verbose=True):
-        """3D GCM input: dict with 'lat'/'lon' (deg), 'pressure' [nlevel]
-        (bar), and [nlevel, nlon, nlat] fields (TPU analog of
-        justdoit.py:3414; columns are selected at the disco facets by
-        nearest neighbour instead of xarray exact-matching)."""
+        """3D GCM input: a NetCDF path / decoded NCDataset (the
+        reference's xarray GCM format, justdoit.py:3414) or a dict with
+        'lat'/'lon' (deg), 'pressure' [nlevel] (bar), and
+        [nlevel, nlon, nlat] fields; columns are selected at the disco
+        facets by nearest neighbour instead of xarray exact-matching."""
+        from .ncio import NCDataset, gcm_dict
+        if isinstance(data, (str, bytes, NCDataset)):
+            data = gcm_dict(data)
         if 'pressure' not in data or 'temperature' not in data:
             raise ValueError('need pressure and temperature fields')
         self.inputs['atmosphere']['profile'] = data
@@ -460,6 +464,9 @@ class inputs:
         time (three_d.regrid_to_disco), so only the physical rotation is
         applied.
         """
+        from .ncio import NCDataset, gcm_dict
+        if isinstance(ds, (str, bytes, NCDataset)):
+            ds = gcm_dict(ds)
         if ds is None:
             ds = self.inputs['atmosphere']['profile']
         if not isinstance(ds, dict) or 'lat' not in ds:
@@ -506,6 +513,9 @@ class inputs:
         ([nlayer, nwno_cld, ng, nt]) for :meth:`phase_curve`.
         """
         from .three_d import regrid_to_disco
+        from .ncio import NCDataset, gcm_dict
+        if isinstance(ds, (str, bytes, NCDataset)):
+            ds = gcm_dict(ds)
         if ds is None:
             ds = self.inputs['clouds'].get('profile')
         if not isinstance(ds, dict) or 'lat' not in ds:
