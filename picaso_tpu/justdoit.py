@@ -955,13 +955,38 @@ class inputs:
                       as_dict=as_dict)
 
     def phase_curve(self, opacityclass, full_output=False, n_cpu=1,
-                    verbose=True):
-        """Phase-curve fan-out (TPU analog of justdoit.py:4741-4777)."""
+                    verbose=True, batched=None, mesh=None):
+        """Phase-curve fan-out (TPU analog of justdoit.py:4741-4777).
+
+        With 1D profiles the phase axis becomes a vmapped batch of ONE
+        fused XLA program (optionally sharded over a mesh 'batch' axis)
+        instead of the reference's joblib/serial per-phase loop —
+        ``batched=None`` auto-selects it whenever the profiles are 1D
+        and no patchy clouds are requested.  3D (GCM) phase curves take
+        the per-phase path (each phase is already a facet-vmapped
+        program).  ``n_cpu`` is accepted for API parity and unused.
+        """
         phases = np.atleast_1d(self.inputs['phase_angle'])
         calculation = self.inputs['disco_calculation']
         all_geom = self.inputs['disco']
         all_profiles = self.inputs['atmosphere']['profile']
         all_clds = self.inputs['clouds'].get('profile')
+
+        def _is_1d(p):
+            return not (isinstance(p, dict) and 'lat' in p)
+
+        profiles_1d = (_is_1d(all_profiles)
+                       if not isinstance(all_profiles, (list, tuple))
+                       else all(_is_1d(p) for p in all_profiles))
+        if batched is None:
+            batched = (profiles_1d
+                       and not self.inputs['clouds'].get('do_holes'))
+        if batched:
+            if not profiles_1d:
+                raise ValueError('batched phase curves need 1D profiles')
+            return self._phase_curve_batched(
+                opacityclass, phases, calculation, all_geom,
+                all_profiles, all_clds, mesh=mesh, verbose=verbose)
         out = {}
         for i, iphase in enumerate(phases):
             case = copy.copy(self)
@@ -983,6 +1008,74 @@ class inputs:
             out[float(iphase)] = case.spectrum(
                 opacityclass, calculation=calculation, dimension=dim,
                 full_output=full_output)
+        return out
+
+    def _phase_curve_batched(self, opacityclass, phases, calculation,
+                             all_geom, all_profiles, all_clds, mesh=None,
+                             verbose=True):
+        """All phases as ONE batched fused program (VERDICT r1 item #6)."""
+        import dataclasses as _dc
+        from . import pipeline as _pl
+
+        scenes = []
+        config = None
+        for i, iphase in enumerate(phases):
+            case = copy.copy(self)
+            case.inputs = copy.copy(self.inputs)
+            case.inputs['atmosphere'] = dict(self.inputs['atmosphere'])
+            case.inputs['clouds'] = dict(self.inputs['clouds'])
+            case.inputs['phase_angle'] = float(iphase)
+            case.inputs['disco'] = all_geom[float(iphase)]
+            if isinstance(all_profiles, (list, tuple)):
+                case.inputs['atmosphere']['profile'] = all_profiles[i]
+            if isinstance(all_clds, (list, tuple)):
+                case.inputs['clouds']['profile'] = all_clds[i]
+            dtype = (np.float64 if jax.config.jax_enable_x64
+                     else np.float32)
+            scene, config = _pl.scene_from_case(case, opacityclass,
+                                                dtype=dtype)
+            scenes.append(scene)
+        config = _dc.replace(
+            config,
+            reflected='reflected' in calculation,
+            thermal='thermal' in calculation,
+            transmission='transmission' in calculation)
+        batch = _pl.stack_scenes(scenes)
+        if mesh is not None:
+            from . import parallel as _par
+            batch = _par.shard_scene(batch, mesh, batched=True)
+            grid = _par.shard_grid(opacityclass.grid, mesh)
+        else:
+            grid = opacityclass.grid
+        if verbose:
+            print(f'Batched phase curve: {len(phases)} phases in one '
+                  'program')
+        res = _pl.forward_batch(batch, grid, config)
+
+        wno = np.asarray(opacityclass.wno)
+        sa = self.inputs['star'].get('semi_major', np.nan)
+        rp = self.inputs['planet'].get('radius', np.nan)
+        out = {}
+        for i, iphase in enumerate(phases):
+            d = {'wavenumber': wno}
+            if 'albedo' in res:
+                alb = np.asarray(res['albedo'][i])
+                d['albedo'] = alb
+                if np.isfinite(sa) and np.isfinite(rp):
+                    d['fpfs_reflected'] = alb * (rp / sa) ** 2
+            if 'thermal' in res:
+                th = np.asarray(res['thermal'][i])
+                d['thermal'] = th
+                flux_star = opacityclass.unshifted_stellar_spec
+                rstar = self.inputs['star'].get('radius')
+                if (flux_star is not None
+                        and isinstance(rstar, (int, float))
+                        and np.isfinite(rstar) and np.isfinite(rp)):
+                    d['fpfs_thermal'] = (th / np.asarray(flux_star)
+                                         * (rp / rstar) ** 2)
+            if 'transit_depth' in res:
+                d['transit_depth'] = np.asarray(res['transit_depth'][i])
+            out[float(iphase)] = d
         return out
 
 

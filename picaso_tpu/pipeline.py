@@ -34,7 +34,8 @@ from .rt import toon
 from .rt.transit import transit_depth
 from . import disco as disco_mod
 
-__all__ = ['SceneTensors', 'SpectrumConfig', 'forward', 'scene_from_case']
+__all__ = ['SceneTensors', 'SpectrumConfig', 'forward', 'forward_batch',
+           'stack_scenes', 'scene_from_case']
 
 
 class SceneTensors(NamedTuple):
@@ -61,6 +62,7 @@ class SceneTensors(NamedTuple):
     F0PI: jnp.ndarray            # [nwno]
     surf_reflect: jnp.ndarray    # [nwno]
     rstar: jnp.ndarray           # scalar (cm)
+    cos_theta: jnp.ndarray       # scalar cos(phase angle)
     # Raman inputs (empty [.., 0] / neutral when raman is off):
     raman_shifts: jnp.ndarray    # [nrow, nwno] raman-shifted star ratios
     raman_c: jnp.ndarray         # [nrow] cross-section coefficients
@@ -92,7 +94,6 @@ class SpectrumConfig:
     sh_psingle_rayleigh: int = 1
     sh_single_form: int = 0
     test_mode: Optional[str] = None
-    cos_theta: float = 1.0
     hard_surface: bool = False
     reflected: bool = True
     thermal: bool = True
@@ -194,7 +195,7 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
         if config.reflected:
             xint = sh_mod.reflected_sh(
                 props, scene.surf_reflect, scene.ubar0, scene.ubar1,
-                config.cos_theta, scene.F0PI, stream=config.stream,
+                scene.cos_theta, scene.F0PI, stream=config.stream,
                 controls=config.controls,
                 w_single_form=config.sh_w_single_form,
                 w_multi_form=config.sh_w_multi_form,
@@ -204,7 +205,7 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                 psingle_rayleigh=config.sh_psingle_rayleigh,
                 single_form=config.sh_single_form)
             out['albedo'] = disco_mod.compress_disco(
-                xint, scene.gweight, scene.tweight, config.cos_theta,
+                xint, scene.gweight, scene.tweight, scene.cos_theta,
                 scene.F0PI)
         if config.thermal:
             flux_top, _ = sh_mod.thermal_sh(
@@ -225,18 +226,18 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                 props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
                 props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
                 props.w0_og, props.cosb_og, scene.surf_reflect, scene.ubar0,
-                scene.ubar1, config.cos_theta, scene.F0PI,
+                scene.ubar1, scene.cos_theta, scene.F0PI,
                 controls=config.controls)
         else:
             xint, _ = toon.reflected_1d(
                 props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
                 props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
                 props.w0_og, props.cosb_og, scene.surf_reflect, scene.ubar0,
-                scene.ubar1, config.cos_theta, scene.F0PI,
+                scene.ubar1, scene.cos_theta, scene.F0PI,
                 controls=config.controls, get_toa_intensity=True,
                 get_lvl_flux=False)
         out['albedo'] = disco_mod.compress_disco(
-            xint, scene.gweight, scene.tweight, config.cos_theta,
+            xint, scene.gweight, scene.tweight, scene.cos_theta,
             scene.F0PI)
     if config.thermal:
         if config.use_pallas:
@@ -261,6 +262,26 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
             scene.z, scene.dz, scene.rstar, scene.mmw_layer, scene.plevel,
             scene.tlevel, scene.colden, props.dtau_og)
     return out
+
+
+def stack_scenes(scenes):
+    """Stack same-shaped SceneTensors along a new leading batch axis.
+
+    The batch axis is the framework's data-parallel unit: phase-curve
+    points, retrieval live points, or grid members — one program, one
+    dispatch, shardable over a mesh 'batch' axis (parallel.shard_scene
+    with batched=True).  Replaces the reference's joblib/serial loops
+    (justdoit.py:4741-4777)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def forward_batch(scenes: SceneTensors, grid: OpacityGrid,
+                  config: SpectrumConfig):
+    """Batched fused forward: scenes carry a leading batch axis on every
+    field (from :func:`stack_scenes`); outputs gain the same axis."""
+    return jax.vmap(lambda s: forward(s, grid, config),
+                    in_axes=(0,))(scenes)
 
 
 def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
@@ -337,6 +358,7 @@ def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
                       else jnp.broadcast_to(
                           jnp.asarray(surf_reflect, dtype), (nwno,))),
         rstar=jnp.asarray(rstar, dtype),
+        cos_theta=jnp.asarray(getattr(geom, 'cos_theta', 1.0), dtype),
         raman_shifts=(jnp.asarray(np.asarray(raman_shifts).T, dtype)
                       if raman_shifts is not None
                       else jnp.zeros((0, nwno), dtype)),
@@ -353,7 +375,6 @@ def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,
                             continuum_specs=specs,
                             cont_indices=cont_indices,
                             mix_index=mix_index,
-                            cos_theta=float(getattr(geom, 'cos_theta', 1.0)),
                             transmission=np.isfinite(rstar))
     return scene, config
 
