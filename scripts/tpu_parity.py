@@ -1,0 +1,162 @@
+"""Scripted TPU f32 validation: device f32 vs CPU f64, recorded tolerances.
+
+Runs the full fused forward (Toon reflected + thermal + transmission, both
+the scan path and the Pallas megakernel path) and a complete brown-dwarf
+RCE climate solve on the attached accelerator in float32, reruns the same
+problems on the host CPU backend in float64 (subprocess), and writes a
+JSON report of max/median relative deviations with pass/fail against the
+recorded tolerances.
+
+Usage:  python scripts/tpu_parity.py [--out report.json]
+
+Recorded tolerances (f32 vs f64, empirically with ~3x headroom):
+  forward spectra   max rel < 5e-3   median rel < 5e-5
+  climate profile   max |dT| < 2 K
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+NWNO = 5000
+TOL = {'forward_max_rel': 5e-3, 'forward_median_rel': 5e-5,
+       'climate_max_dT': 2.0}
+
+_CPU_CODE = r'''
+import os, sys
+os.environ['JAX_PLATFORMS'] = 'cpu'
+sys.path.insert(0, %(root)r)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import dataclasses
+import numpy as np
+import bench
+from picaso_tpu import pipeline
+scene, grid, config = bench.build_problem(%(nwno)d, dtype=np.float64,
+                                          production=False)
+cfg = dataclasses.replace(config, transmission=True, use_pallas=False)
+out = pipeline.forward(scene, grid, cfg)
+np.savez(%(path)r, **{k: np.asarray(v) for k, v in out.items()})
+
+from picaso_tpu import justdoit as jdi
+from picaso_tpu.opacities.ck import synthetic_ck_table
+opa_ck = jdi.opannection(ck_table=synthetic_ck_table(dtype=np.float64),
+                         method='preweighted')
+case = jdi.inputs(calculation='brown')
+case.phase_angle(0)
+case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
+case.effective_temp(700.0)
+case.setup_nostar(); case.setup_climate()
+p = np.logspace(-4, 2.5, 41)
+case.inputs_climate(temp_guess=np.clip(700.0*(p/10.0)**0.12, 250., 2800.),
+                    pressure=p, rcb_guess=31, rfacv=0.0)
+clim = case.climate(opa_ck, verbose=False)
+np.savez(%(clim_path)r, temperature=np.asarray(clim['temperature']),
+         converged=np.asarray(int(clim['converged'])))
+print('CPU f64 reference written')
+'''
+
+
+def rel_stats(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    scale = np.maximum(np.abs(b), np.abs(b).max() * 1e-9 + 1e-300)
+    rel = np.abs(a - b) / scale
+    return float(rel.max()), float(np.median(rel))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default=os.path.join(ROOT,
+                                                  'TPU_PARITY.json'))
+    args = ap.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+    report = {'backend': backend, 'nwno': NWNO, 'tolerances': TOL,
+              'checks': {}, 'ok': True}
+
+    ref_spec = '/tmp/tpu_parity_cpu_spec.npz'
+    ref_clim = '/tmp/tpu_parity_cpu_clim.npz'
+    code = _CPU_CODE % {'root': ROOT, 'nwno': NWNO, 'path': ref_spec,
+                        'clim_path': ref_clim}
+    t0 = time.time()
+    res = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True, timeout=3600,
+                         env=dict(os.environ, JAX_PLATFORMS='cpu'))
+    if res.returncode != 0:
+        print(res.stdout[-2000:], res.stderr[-2000:])
+        raise SystemExit('CPU f64 reference failed')
+    print(f'CPU f64 reference: {time.time() - t0:.0f}s')
+
+    import bench
+    from picaso_tpu import pipeline
+
+    ref = dict(np.load(ref_spec))
+    scene, grid, config = bench.build_problem(NWNO, dtype=np.float32,
+                                              production=False)
+    for pallas in ([False, True] if backend not in ('cpu', 'gpu')
+                   else [False]):
+        cfg = dataclasses.replace(config, transmission=True,
+                                  use_pallas=pallas)
+        out = pipeline.forward(scene, grid, cfg)
+        jax.block_until_ready(out)
+        for key in ref:
+            mx, med = rel_stats(out[key], ref[key])
+            name = f'forward_{key}' + ('_pallas' if pallas else '')
+            ok = (mx < TOL['forward_max_rel']
+                  and med < TOL['forward_median_rel'])
+            report['checks'][name] = {'max_rel': mx, 'median_rel': med,
+                                      'ok': ok}
+            report['ok'] &= ok
+            print(f'{name:34s} max {mx:.2e} median {med:.2e} '
+                  f'{"OK" if ok else "FAIL"}')
+
+    from picaso_tpu import justdoit as jdi
+    from picaso_tpu.opacities.ck import synthetic_ck_table
+
+    clim_ref = dict(np.load(ref_clim))
+    t0 = time.time()
+    opa_ck = jdi.opannection(ck_table=synthetic_ck_table(),
+                             method='preweighted')
+    case = jdi.inputs(calculation='brown')
+    case.phase_angle(0)
+    case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.effective_temp(700.0)
+    case.setup_nostar()
+    case.setup_climate()
+    p = np.logspace(-4, 2.5, 41)
+    case.inputs_climate(
+        temp_guess=np.clip(700.0 * (p / 10.0) ** 0.12, 250., 2800.),
+        pressure=p, rcb_guess=31, rfacv=0.0)
+    clim = case.climate(opa_ck, verbose=False)
+    dT = float(np.abs(np.asarray(clim['temperature'])
+                      - clim_ref['temperature']).max())
+    ok = (dT < TOL['climate_max_dT'] and bool(clim['converged'])
+          and bool(clim_ref['converged']))
+    report['checks']['climate'] = {
+        'max_dT_K': dT, 'converged_f32': bool(clim['converged']),
+        'converged_f64': bool(clim_ref['converged']), 'ok': ok,
+        'wallclock_s': round(time.time() - t0, 1)}
+    report['ok'] &= ok
+    print(f'{"climate":34s} max dT {dT:.3f} K '
+          f'{"OK" if ok else "FAIL"}')
+
+    with open(args.out, 'w') as f:
+        json.dump(report, f, indent=1)
+    print(f'report -> {args.out}  overall: '
+          f'{"PASS" if report["ok"] else "FAIL"}')
+    return 0 if report['ok'] else 1
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
