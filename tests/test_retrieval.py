@@ -53,6 +53,61 @@ def test_nested_gaussian_evidence():
     np.testing.assert_allclose(mean, [mu, mu], atol=0.02)
 
 
+def test_nested_multimodal_correlated():
+    """Correlated bimodal 3D mixture: evidence and mode masses known
+    (the multimodal case the round-1 random-walk sampler couldn't handle
+    — multi-ellipsoid bounds track both modes)."""
+    m1 = np.array([0.3, 0.3, 0.3])
+    m2 = np.array([0.72, 0.72, 0.72])
+    sig = 0.04
+    rho = 0.7
+    cov = sig ** 2 * (np.full((3, 3), rho) + (1 - rho) * np.eye(3))
+    icov = np.linalg.inv(cov)
+    lognorm = -0.5 * (3 * np.log(2 * np.pi)
+                      + np.log(np.linalg.det(cov)))
+    w1, w2 = 0.65, 0.35
+
+    def loglike(x):
+        x = np.atleast_2d(x)
+        d1, d2 = x - m1, x - m2
+        l1 = -0.5 * np.einsum('ij,jk,ik->i', d1, icov, d1) + lognorm
+        l2 = -0.5 * np.einsum('ij,jk,ik->i', d2, icov, d2) + lognorm
+        return np.logaddexp(np.log(w1) + l1, np.log(w2) + l2)
+
+    res = nested_sample(loglike, lambda u: u, 3, nlive=400, seed=5,
+                        dlogz=0.05)
+    # analytic: both normalized gaussians lie within the cube -> Z ~ 1
+    assert abs(res.logz) < 0.35, res.logz
+    # both modes present with ~the right posterior mass
+    d_to_1 = np.linalg.norm(res.samples_equal - m1, axis=1)
+    d_to_2 = np.linalg.norm(res.samples_equal - m2, axis=1)
+    frac1 = float((d_to_1 < d_to_2).mean())
+    assert 0.5 < frac1 < 0.8, frac1
+    # and the in-mode correlation structure is recovered
+    in1 = res.samples_equal[d_to_1 < d_to_2]
+    corr = np.corrcoef(in1.T)[0, 1]
+    assert 0.4 < corr < 0.95, corr
+
+
+def test_nested_dynamic_batches():
+    """dynamic=True adds posterior-focused live points: evidence is
+    consistent and effective sample size improves."""
+    sig = 0.05
+
+    def loglike(x):
+        x = np.atleast_2d(x)
+        return (-0.5 * np.sum((x - 0.5) ** 2, axis=1) / sig ** 2
+                - 0.5 * x.shape[1] * np.log(2 * np.pi * sig ** 2))
+
+    static = nested_sample(loglike, lambda u: u, 2, nlive=120, seed=7,
+                           dlogz=0.1)
+    dyn = nested_sample(loglike, lambda u: u, 2, nlive=120, seed=7,
+                        dlogz=0.1, dynamic=True)
+    assert abs(dyn.logz) < 0.4, dyn.logz
+    assert abs(dyn.logz - static.logz) < 0.4
+    assert dyn.ess > 1.2 * static.ess, (dyn.ess, static.ess)
+
+
 def test_nested_checkpoint_resume(tmp_path):
     def loglike(x):
         x = np.atleast_2d(x)
