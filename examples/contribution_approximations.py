@@ -38,7 +38,9 @@ case.atmosphere(df=jdi.pd.DataFrame({
     'H2': 0.84, 'He': 0.15, 'H2O': 1e-3, 'CH4': 3e-4, 'CO2': 1e-6}))
 
 # --- contribution functions (justdoit.py:1090-1295) ---
-taus, cumsum, tau_p = jdi.get_contribution(case, opa, at_tau=1.0)
+contrib = jdi.get_contribution(case, opa, at_tau=1.0)
+taus, cumsum, tau_p = (contrib['taus_per_layer'], contrib['cumsum_taus'],
+                       contrib['tau_p_surface'])
 for mol, press in tau_p.items():
     p = np.asarray(press)
     good = np.isfinite(p)

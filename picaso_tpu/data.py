@@ -126,9 +126,13 @@ def check_environ(verbose=True):
 
 
 def get_data(category_download=None, target_download='default',
-             final_destination_dir=None, progress=True):
-    """Download + extract a catalog artifact (data.py:452-598)."""
-    catalog = data_catalog()
+             final_destination_dir=None, progress=True, catalog=None):
+    """Download + extract a catalog artifact (data.py:452-598).
+
+    ``catalog`` overrides the built-in Zenodo/STScI catalog — e.g. a
+    local mirror with file:// URLs (how the download/extract path is
+    exercised in CI without egress)."""
+    catalog = catalog or data_catalog()
     if category_download is None:
         for cat, targets in catalog.items():
             for tgt, info in targets.items():

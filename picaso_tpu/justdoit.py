@@ -1455,11 +1455,24 @@ def picaso(bundle, opacityclass, dimension='1d', calculation='reflected',
         full['layer'] = {
             'pressure': atm.p_layer / PCONV, 'temperature': atm.t_layer,
             'colden': atm.colden, 'mmw': atm.mmw_layer,
+            'column_density': atm.colden,
             'cloud': {'opd': atm.cld_opd, 'g0': atm.cld_g0,
                       'w0': atm.cld_w0}}
         full['level'] = {'pressure': atm.pressure / PCONV,
                          'temperature': atm.temperature,
                          'z': atm.z, 'dz': atm.dz}
+        # per-source optical depths in the reference's full-output layout
+        # [nlayer, nwno, ngauss] (justdoit.py:518-621 via compute_opacity)
+        taugas_d, tauray_d, _rf = _gas_optics(
+            atm, opacityclass,
+            inp['approx']['rt_params']['common']['raman'],
+            inp['atmosphere'].get('exclude_mol', 1))
+        full['taugas'] = np.transpose(np.asarray(taugas_d), (1, 2, 0))
+        full['tauray'] = np.transpose(np.asarray(tauray_d), (1, 2, 0))
+        opd = (np.asarray(atm.cld_opd) if atm.cld_opd is not None
+               else np.zeros((atm.nlayer, len(wno))))
+        full['taucld'] = np.repeat(opd[:, :, None], opacityclass.ngauss,
+                                   axis=2)
         full['wavenumber'] = wno
         full['warnings'] = list(atm.warnings)
         if inp['star'].get('database') != 'nostar' and \
@@ -1618,7 +1631,8 @@ def get_contribution(bundle, opacityclass, at_tau=1, dimension='1d'):
             elif idx >= atm.nlevel:
                 press[w] = p_level_bar[-1]
         tau_p_surface[name] = press
-    return taus, cumsum_taus, tau_p_surface
+    return {'taus_per_layer': taus, 'cumsum_taus': cumsum_taus,
+            'tau_p_surface': tau_p_surface}
 
 
 # ---------------------------------------------------------------------------

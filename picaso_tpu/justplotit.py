@@ -10,10 +10,13 @@ brightness temperature, climate convergence animation, phase curves).
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
+from .constants import AMU, PCONV
 from .wavelength import mean_regrid
 
 __all__ = ['spectrum', 'pt', 'mixing_ratio', 'photon_attenuation',
+           'plot_format', 'explore', 'numba_cumsum',
            'taumap', 'disco', 'brightness_temperature',
            'animate_convergence', 'phase_curve', 'pt_adiabat',
            'mean_regrid', 'plot_errorbar', 'plot_multierror',
@@ -434,9 +437,9 @@ def _contribution(contrib_key):
     return plot
 
 
-thermal_contribution = _contribution('taus_total')
-molecule_contribution = _contribution('taus_per_layer')
-transmission_contribution = _contribution('taus_total')
+# (the full reference-semantics contribution plotters are defined below;
+# _contribution remains for simple per-species overlays)
+species_contribution = _contribution('taus_per_layer')
 
 
 def phase_snaps(allout, to_plot='thermal', ncols=4):
@@ -456,3 +459,204 @@ def phase_snaps(allout, to_plot='thermal', ncols=4):
                 v if v.ndim == 1 else v.reshape(-1, v.shape[-1]).mean(0))
         ax.set_title(f'phase {float(phase):.2f}')
     return fig
+
+
+# ---------------------------------------------------------------------------
+# contribution-function plots (justplotit.py:1584-1779) + heatmap tail
+# ---------------------------------------------------------------------------
+
+def thermal_contribution(full_output, tau_max=1.0, R=100, ax=None, **kwargs):
+    """Emission contribution function heatmap (justplotit.py:1584-1644;
+    Dobbs-Dixon & Cowan 2017 eqn 4): CF = B(T) e^{-tau} dtau/dlnP per
+    (layer, wavelength), summed over CK gauss points.
+
+    Returns (fig, ax, CF) with CF [nlayer-1, nwno_binned]."""
+    from matplotlib import colors as mcolors
+    from .rt.toon import blackbody
+    from .wavelength import mean_regrid
+
+    import matplotlib.pyplot as plt
+
+    kwargs.setdefault('norm', mcolors.LogNorm())
+    kwargs.setdefault('shading', 'auto')
+    all_taus = np.squeeze(np.asarray(full_output['taugas'])
+                          + np.asarray(full_output['taucld'])
+                          + np.asarray(full_output['tauray']))
+    if all_taus.ndim == 3:
+        all_taus = all_taus.sum(axis=2)
+    all_taus = np.minimum(all_taus, tau_max)
+    sum_taus = np.cumsum(all_taus, axis=0)
+    wno = np.asarray(full_output['wavenumber'])
+    press = np.asarray(full_output['layer']['pressure'])
+    temp = np.asarray(full_output['layer']['temperature'])
+    bb = np.asarray(blackbody(jnp.asarray(temp), 1.0 / jnp.asarray(wno)))
+    dlnp = np.diff(np.log(press))[:, None]
+    CF = (bb[:-1] * np.exp(-sum_taus[:-1]) * all_taus[:-1] / dlnp)
+    if R is not None:
+        wno_b, _ = mean_regrid(wno, wno, R=R)
+        CF_bin = np.stack([mean_regrid(wno, CF[i], newx=wno_b)[1]
+                           for i in range(CF.shape[0])])
+    else:
+        CF_bin, wno_b = CF, wno
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(11, 7))
+    else:
+        fig = ax.figure
+    smap = ax.pcolormesh(1e4 / wno_b, press[:-1], CF_bin, **kwargs)
+    ax.set_ylim(press.max(), press.min())
+    ax.set_yscale('log')
+    ax.set_ylabel('Pressure (bar)')
+    ax.set_xlabel(r'Wavelength ($\mu$m)')
+    fig.colorbar(smap, ax=ax, label='Emission Contribution Function')
+    return fig, ax, CF_bin
+
+
+def molecule_contribution(contribution_out, opa, min_pressure=4.5, R=100,
+                          ax=None, **kwargs):
+    """Tau~1 pressure surfaces per molecule (justplotit.py:1646-1695):
+    plots every species whose tau-surface rises above ``min_pressure``."""
+    from .wavelength import mean_regrid
+
+    import matplotlib.pyplot as plt
+
+    tau_p_surface = contribution_out['tau_p_surface']
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    plotted = []
+    for mol in tau_p_surface:
+        x, y = mean_regrid(np.asarray(opa.wno),
+                           np.asarray(tau_p_surface[mol]), R=R)
+        if np.nanmin(y) < min_pressure:
+            ax.plot(1e4 / x, y, label=mol, **kwargs)
+            plotted.append(mol)
+    ax.set_yscale('log')
+    ax.invert_yaxis()
+    ax.set_xlabel(r'Wavelength ($\mu$m)')
+    ax.set_ylabel('Tau Pressure (bars)')
+    ax.legend(fontsize=8)
+    ax.set_title('Tau Pressure Surface')
+    return fig
+
+
+def transmission_contribution(full_output, R=None, ax=None, **kwargs):
+    """Transmission contribution function (justplotit.py:1697-1779,
+    petitRADTRANS convention): per-layer effect on the transit depth of
+    zeroing that layer's opacity, normalized per wavelength.
+
+    Returns (fig, ax, um, CF)."""
+    from matplotlib import colors as mcolors
+    from .rt.transit import transit_depth as _transit
+    from .wavelength import mean_regrid
+
+    dtau = (np.asarray(full_output['taugas'])[:, :, 0]
+            + np.asarray(full_output['taucld'])[:, :, 0]
+            + np.asarray(full_output['tauray'])[:, :, 0])
+    lvl, lay = full_output['level'], full_output['layer']
+    z, dz = np.asarray(lvl['z']), np.asarray(lvl['dz'])
+    player = np.asarray(lay['pressure'])
+    tlayer = np.asarray(lay['temperature'])
+    colden = np.asarray(lay['column_density'])
+    mmw = np.asarray(lay['mmw'])
+
+    plevel = np.asarray(lvl['pressure']) * PCONV
+    tlevel = np.asarray(lvl['temperature'])
+
+    def depth(d):
+        # rstar=1 as in the reference (only relative differences matter)
+        return np.asarray(_transit(
+            jnp.asarray(z), jnp.asarray(dz), 1.0, jnp.asarray(mmw),
+            jnp.asarray(plevel), jnp.asarray(tlevel),
+            jnp.asarray(colden), jnp.asarray(d)))
+
+    norm = depth(dtau)
+    zs = []
+    for i in range(dtau.shape[0]):
+        d = dtau.copy()
+        d[i, :] = 0.0
+        zs.append(depth(d))
+    zs = np.asarray(zs)
+    CF = (norm - zs) / np.maximum((norm - zs).sum(axis=0), 1e-300)
+    wno = np.asarray(full_output['wavenumber'])
+    if R is not None:
+        wno_b, _ = mean_regrid(wno, wno, R=R)
+        CF_bin = np.stack([mean_regrid(wno, CF[i], newx=wno_b)[1]
+                           for i in range(CF.shape[0])])
+    else:
+        CF_bin, wno_b = CF, wno
+    import matplotlib.pyplot as plt
+
+    kwargs.setdefault('norm', mcolors.LogNorm())
+    kwargs.setdefault('shading', 'auto')
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    smap = ax.pcolormesh(1e4 / wno_b, player, CF_bin, **kwargs)
+    ax.set_ylim(player.max(), player.min())
+    ax.set_yscale('log')
+    ax.set_ylabel('Pressure (bar)')
+    ax.set_xlabel(r'Wavelength ($\mu$m)')
+    fig.colorbar(smap, ax=ax, label='Transmission CF')
+    return fig, ax, 1e4 / wno_b, CF_bin
+
+
+def rt_heatmap(data, figure_kwargs=None, cmap_kwargs=None, ax=None):
+    """w0 x g0 %-difference heatmap for the model_compare harnesses
+    (justplotit.py:2083-2155; Batalha+2019 fig 9 / Rooney+2023 fig 6
+    layout — index = asymmetry, columns = single-scattering albedo)."""
+    import matplotlib.pyplot as plt
+
+    figure_kwargs = figure_kwargs or {}
+    cmap_kwargs = cmap_kwargs or {}
+    vals = np.asarray(data.values, dtype=float)
+    bd = np.abs(vals).max()
+    if ax is None:
+        fig, ax = plt.subplots(
+            figsize=figure_kwargs.get('figsize', (6, 6)))
+    else:
+        fig = ax.figure
+    im = ax.imshow(vals.T[::-1], aspect='auto',
+                   cmap=cmap_kwargs.get('palette', 'RdGy'),
+                   vmin=cmap_kwargs.get('low', -bd),
+                   vmax=cmap_kwargs.get('high', bd))
+    ax.set_xticks(range(len(data.index)))
+    ax.set_xticklabels([str(i) for i in data.index], rotation=60,
+                       fontsize=8)
+    ax.set_yticks(range(len(data.columns)))
+    ax.set_yticklabels([str(c) for c in reversed(list(data.columns))],
+                       fontsize=8)
+    ax.set_xlabel('Asymmetry')
+    ax.set_ylabel('Single Scattering Albedo')
+    ax.set_title(figure_kwargs.get('title', '% Diff'))
+    fig.colorbar(im, ax=ax)
+    return fig
+
+
+def plot_format(ax):
+    """Apply the reference's large-font axis formatting
+    (justplotit.py:538-549) to a matplotlib Axes."""
+    ax.xaxis.label.set_fontsize(14)
+    ax.yaxis.label.set_fontsize(14)
+    ax.tick_params(axis='both', labelsize=14)
+
+
+def explore(df, key):
+    """Fetch ``key`` from a dict up to three levels deep
+    (justplotit.py:982-1017)."""
+    if isinstance(df, dict) and df.get(key) is not None:
+        return df[key]
+    for v in (df.values() if isinstance(df, dict) else []):
+        if isinstance(v, dict):
+            if v.get(key) is not None:
+                return v[key]
+            for vv in v.values():
+                if isinstance(vv, dict) and vv.get(key) is not None:
+                    return vv[key]
+    raise KeyError(f'{key!r} not found within three levels')
+
+
+def numba_cumsum(mat):
+    """Axis-0 cumulative sum (API-parity shim for fluxes.py:872)."""
+    return np.cumsum(mat, axis=0)

@@ -36,7 +36,10 @@ def setup(tmp_path_factory):
 
 def test_get_contribution(setup):
     opa, case = setup
-    taus, cumsum_taus, tau_p = jdi.get_contribution(case, opa, at_tau=1)
+    out = jdi.get_contribution(case, opa, at_tau=1)
+    taus, cumsum_taus, tau_p = (out['taus_per_layer'],
+                                out['cumsum_taus'],
+                                out['tau_p_surface'])
     assert 'H2O' in taus and 'rayleigh' in taus and 'cloud' in taus
     assert 'H2He' in taus or 'H2H2' in taus
     for name, t in taus.items():
@@ -88,8 +91,10 @@ def test_plotting_smoke(setup):
     jpi.spectrum(out['wavenumber'], out['albedo'], R=30)
     jpi.pt(out['full_output'])
     jpi.mixing_ratio(case.inputs['atmosphere']['profile'])
-    taus, cum, tau_p = jdi.get_contribution(case, opa)
+    contrib = jdi.get_contribution(case, opa)
+    tau_p = contrib['tau_p_surface']
     jpi.photon_attenuation(tau_p, out['wavenumber'])
+    jpi.molecule_contribution(contrib, opa, min_pressure=1e6, R=20)
     jpi.brightness_temperature(out['wavenumber'], out['thermal'])
 
 
@@ -133,8 +138,8 @@ def test_justplotit_surface():
     jpi.all_optics_1d(full)
     jpi.create_heat_map(full['taugas'])
     jpi.heatmap_taus({'H2O': full['taugas'], 'CH4': full['taucld']})
-    jpi.thermal_contribution({'wavenumber': wno,
-                              'taus_total': {'H2O': full['taugas']}})
+    jpi.species_contribution({'wavenumber': wno,
+                              'taus_per_layer': {'H2O': full['taugas']}})
     import pandas as pd
     df = pd.DataFrame({'opd': rng.uniform(0, 1, nlayer * 50),
                        'g0': np.zeros(nlayer * 50) + 0.8,
