@@ -46,7 +46,10 @@ def build(force=False):
     sqlite = _find_sqlite()
     if sqlite is None:
         raise RuntimeError('libsqlite3 shared library not found')
-    cmd = ['g++', '-O3', '-std=c++17', '-march=native', '-ffast-math',
+    # no -ffast-math: test_native.py asserts BIT parity of log10 output
+    # with the numpy loader, and fast-math log10 results are not
+    # reproducible across hosts/compilers (round-1 ADVICE)
+    cmd = ['g++', '-O3', '-std=c++17', '-march=native',
            '-fopenmp-simd', '-shared', '-fPIC', _SRC,
            sqlite, '-lpthread', '-o', _SO + '.tmp']
     subprocess.run(cmd, check=True, capture_output=True, text=True)
