@@ -481,6 +481,12 @@ def load_reference(module='justdoit'):
     if key in _loaded:
         return _loaded[key]
     install_shims()
+    # the reference reads picaso_refdata both at import (module globals)
+    # and at runtime (e.g. raman_pollack, optics.py:645), so the env var
+    # stays pointed at the reference tree.  picaso_tpu is expected to work
+    # against the reference-layout refdata too (external_refdata with
+    # bundled fallback), so sharing the env var is fine — and covered by
+    # the rest of the suite running after these tests.
     os.environ['picaso_refdata'] = REFERENCE_REFDATA
     os.environ.setdefault(
         'PYSYN_CDBS', os.path.join(REFERENCE_REFDATA, 'stellar_grids'))
