@@ -380,7 +380,7 @@ def t_start(temp, plevel, nstr, nofczns, props: RTProps,
 
     # numerical-recipes knobs (climate.py:905-912)
     alf, tolmin, tolf, tolx = 1e-4, 1e-5, 5e-3, 5e-3
-    step_max_base = 0.01
+    step_max = 0.01        # compounds across iterations (climate.py:907)
 
     profiles = []
     state = _flux_state(temp, props, plevel, geom, wno, dwno, gauss_wts,
@@ -406,8 +406,14 @@ def t_start(temp, plevel, nstr, nofczns, props: RTProps,
         if egp_stepmax:
             step_max = 0.005 * max(np.sqrt(sum_1), n_total * 1.0)
         else:
+            # NOTE the reference COMPOUNDS step_max across Newton
+            # iterations (climate.py:907 initial 0.01, then :1082
+            # `step_max *= ...` each pass) — after ~2 iterations the
+            # clamp is effectively unbounded and the solver takes full
+            # Newton steps.  Deliberate quirk; preserved for trace
+            # parity (tests/test_reference_parity.py).
             iteration_factor = max(0.01, (it_max - its) / it_max)
-            step_max = (step_max_base * max(np.sqrt(sum_1), n_total * 1.0)
+            step_max = (step_max * max(np.sqrt(sum_1), n_total * 1.0)
                         * iteration_factor)
 
         A = _jacobian(temp, jnp.asarray(temp_old), flux_ir_old,

@@ -225,7 +225,7 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
         return flag.astype(jnp.int32), new_check
 
     def outer_body(carry):
-        its, temp, fni, fnil, fpit, done = carry
+        its, temp, fni, fnil, fpit, done, step_max_c = carry
         flux_net, flux_net_mid = net(fni, fnil)
         f_vec = _pack(flux_net, flux_net_mid, zones)
         temp_old = temp
@@ -237,11 +237,17 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
         n_tot_f = zones.n_total.astype(temp.dtype)
         if config.egp_stepmax:
             step_max = 0.005 * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
+            step_max_next = step_max_c
         else:
+            # the reference COMPOUNDS step_max across Newton iterations
+            # (climate.py:907 initial 0.01, :1082 `step_max *= ...`) —
+            # after ~2 iterations the clamp is effectively unbounded.
+            # Deliberate quirk preserved for trace parity.
             iteration_factor = jnp.maximum(
                 0.01, (config.it_max - its) / config.it_max)
-            step_max = (0.01 * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
+            step_max = (step_max_c * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
                         * iteration_factor)
+            step_max_next = step_max
 
         A = jacobian(temp, temp_old, fni, fnil)
         g = A.T @ f_vec
@@ -332,16 +338,17 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
         fni_out = jnp.where(at_root, fni, fni_n)
         fnil_out = jnp.where(at_root, fnil, fnil_n)
         fpit_out = jnp.where(at_root, fpit, fpit_n)
-        return (its + 1, temp_out, fni_out, fnil_out, fpit_out, new_done)
+        return (its + 1, temp_out, fni_out, fnil_out, fpit_out, new_done,
+                step_max_next)
 
     def outer_cond(carry):
-        its, _, _, _, _, done = carry
+        its, _, _, _, _, done, _ = carry
         return (its < config.it_max) & (~done)
 
     carry0 = (jnp.asarray(0, jnp.int32), temp, fni0, fnil0, fpit0,
-              jnp.asarray(False))
-    its, temp_f, fni_f, fnil_f, fpit_f, done = jax.lax.while_loop(
-        outer_cond, outer_body, carry0)
+              jnp.asarray(False), jnp.asarray(0.01, temp.dtype))
+    (its, temp_f, fni_f, fnil_f, fpit_f, done,
+     _step_max) = jax.lax.while_loop(outer_cond, outer_body, carry0)
     return temp_f, done, fnil_f, fnvl, fpit_f
 
 

@@ -268,6 +268,85 @@ def test_climate_fluxes_parity(ref_jdi, ck_file):
     assert_close(fnvl_m, fnv_layer[0, 0])
 
 
+def test_t_start_trace_parity(ref_jdi, ck_file):
+    """Newton-solver ITERATION-TRACE A/B: the reference's t_start
+    (climate.py:805, pure numpy via the shim) vs picaso_tpu's
+    core.t_start from identical state — per-iteration temperature
+    profiles must track each other, which pins the flux driver, the
+    batched-vs-serial Jacobian, the line search, and the reference's
+    deliberately COMPOUNDING step_max quirk (climate.py:907/:1082).
+    Observed: <= 5e-4 K through iteration 2, ~0.4 K by iteration 4."""
+    from collections import namedtuple
+
+    ck_path, cont_db = ck_file
+    clim_ref = refshim.load_reference('climate')
+    opa = ref_jdi.opannection(method='preweighted', ck_db=ck_path,
+                              filename_db=cont_db)
+    case, pressure, guess = _climate_case(ref_jdi, ref_jdi.u)
+    nlevel = len(pressure)
+    nstr = [0, nlevel - 8, nlevel - 2, 0, 0, 0]
+    case.premix_atmosphere(opa, verbose=False)
+    profile_df = case.inputs['atmosphere']['profile'].copy()
+
+    (OpacityWEd, OpacityNoEd, ScatteringPhase, Disco, Atmosphere,
+     _holes) = clim_ref.calculate_atm(case, opa)
+    OpagridT = namedtuple('Opagrid', ['nwno', 'delta_wno', 'wno',
+                                      'ngauss', 'gauss_wts', 'tmin',
+                                      'tmax'])
+    opagrid = OpagridT(opa.nwno, opa.delta_wno, opa.wno, opa.ngauss,
+                       opa.gauss_wts, 50.0, 10000.0)
+    F0PI = np.zeros(opa.nwno) + 1.0
+    AdT = namedtuple('AdiabatBundle', ['t_table', 'p_table', 'grad',
+                                       'cp'])
+    ad_ref = AdT(case.inputs['climate']['t_table'],
+                 case.inputs['climate']['p_table'],
+                 case.inputs['climate']['grad'],
+                 case.inputs['climate']['cp'])
+    grav = 0.01 * case.inputs['planet']['gravity']
+    col_den = 1e6 * np.diff(pressure) / (grav / 0.01)
+    InjT = namedtuple('InjectionBundle',
+                      ['inject_energy', 'inject_beam', 'wave_in', 'pm',
+                       'hratio', 'beam_profile'])
+    tidal = ref_jdi.tidal_flux(700.0, nlevel, pressure, col_den,
+                               InjT(False, False, 0, 1, 1, 0))
+    it_max = 4
+    conv = clim_ref.convergence_criteriaT(it_max=it_max, itmx=1,
+                                          conv=5.0, convt=4.0,
+                                          x_max_mult=7.0)
+    out_ref = clim_ref.t_start(1, nstr, conv, 1.0, 0.0, tidal,
+                               Atmosphere, OpacityWEd, OpacityNoEd,
+                               ScatteringPhase, Disco, opagrid, ad_ref,
+                               F0PI, 1, np.array([]), verbose=0)
+    profiles_ref = np.asarray(out_ref[2]).reshape(-1, nlevel)
+
+    from picaso_tpu.climate.api import ck_rtprops
+    from picaso_tpu.climate import core as my_core
+    from picaso_tpu.climate.adiabat import load_adiabat_grid
+    from picaso_tpu.opacities.ck import load_ck_db
+    from picaso_tpu.rt import toon
+
+    ck = load_ck_db(ck_path, continuum_db=cont_db, dtype=np.float64)
+    props, _atm = ck_rtprops(profile_df, ck, gravity=100.0 * 100.0,
+                             dtype=np.float64)
+    my_tidal = my_core.tidal_flux(700.0, nlevel, pressure, col_den, None)
+    res = my_core.t_start(
+        np.asarray(guess), np.asarray(pressure) * 1e6, nstr, 1, props,
+        my_core.make_climate_geometry(), np.asarray(ck.wno),
+        np.asarray(ck.arrays.delta_wno), np.asarray(ck.arrays.gauss_wts),
+        0.0, F0PI, toon.ScatteringControls(), load_adiabat_grid(), 1.0,
+        0.0, np.asarray(my_tidal), 50.0, 10000.0, it_max=it_max,
+        save_profiles=True)
+    profiles_me = np.asarray(res.profiles).reshape(-1, nlevel)
+
+    n = min(len(profiles_me), len(profiles_ref))
+    assert n >= 3
+    for i in range(min(n, 3)):
+        d = np.abs(profiles_me[i] - profiles_ref[i]).max()
+        assert d < 0.01, f'iter {i}: max dT {d:.4f} K'
+    final = np.abs(np.asarray(res.temp) - out_ref[0]).max()
+    assert final < 2.0, f'final max dT {final:.3f} K'
+
+
 @pytest.mark.skipif(os.environ.get('PICASO_TPU_FULL_PARITY') != '1',
                     reason='full RCE A/B takes ~10 min (reference side is '
                            'pure numpy); set PICASO_TPU_FULL_PARITY=1. '
