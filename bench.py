@@ -83,8 +83,10 @@ def build_problem(nwno, dtype=np.float32, nlevel=NLEVEL, production=True):
         radius=7.1492e9, mass=1.898e30, cld=cld, rstar=6.96e10,
         dtype=dtype)
     import jax
-    config = dataclasses.replace(
-        config, use_pallas=jax.default_backend() not in ('cpu', 'gpu'))
+    use_pallas = jax.default_backend() not in ('cpu', 'gpu')
+    config = dataclasses.replace(config, use_pallas=use_pallas)
+    if use_pallas:
+        grid = grid.with_blocked_table()
     return scene, grid, config
 
 
@@ -117,15 +119,20 @@ def measure(nwno, n_iter, dtype=np.float32, production=True,
                  n_iter)
 
 
-def measure_transit(nwno, n_iter):
+def measure_spectra_and_transit(nwno, n_iter):
+    # headline + transit rates from ONE production problem: the table is
+    # two ~3.4 GB HBM copies, so building it twice OOMs a 16 GB chip
     from picaso_tpu import pipeline
 
     scene, grid, config = build_problem(nwno)
-    config = dataclasses.replace(config, reflected=False, thermal=False,
-                                 transmission=True)
     scenes = _perturbed(scene, n_iter)
-    return _rate(lambda s: pipeline.forward(s, grid, config), scenes,
-                 n_iter)
+    headline = _rate(lambda s: pipeline.forward(s, grid, config), scenes,
+                     n_iter)
+    cfg_t = dataclasses.replace(config, reflected=False, thermal=False,
+                                transmission=True)
+    transit = _rate(lambda s: pipeline.forward(s, grid, cfg_t), scenes,
+                    n_iter)
+    return headline, transit
 
 
 _CLIMATE_CODE = r'''
@@ -247,10 +254,22 @@ def main():
         print(json.dumps({'cpu_rate_full': rate * nwno_cpu / NWNO}))
         return
 
-    import jax
-    rate = measure(NWNO, N_ITER)
+    import gc
 
+    import jax
     extra = {}
+    try:
+        rate, transit_rate = measure_spectra_and_transit(NWNO, N_ITER)
+        extra['transit_spectra_per_s'] = round(transit_rate, 2)
+    except Exception as e:
+        rate = measure(NWNO, N_ITER)
+        extra['transit_error'] = f'{type(e).__name__}: {e}'[:200]
+    # release the ~7 GB of device tables before the subprocess configs
+    # (they share the one chip)
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
     try:
         first, fresh, converged = measure_climate()
         extra['climate_s'] = round(fresh, 2)   # fresh process, warm cache
@@ -258,11 +277,6 @@ def main():
         extra['climate_converged'] = converged
     except Exception as e:
         extra['climate_error'] = f'{type(e).__name__}: {e}'[:200]
-    try:
-        extra['transit_spectra_per_s'] = round(
-            measure_transit(NWNO, N_ITER), 2)
-    except Exception as e:
-        extra['transit_error'] = f'{type(e).__name__}: {e}'[:200]
     try:
         extra['sh4_spectra_per_s'] = round(_sh4_subprocess(), 3)
         extra['sh4_note'] = 'f64 (x64 subprocess), nwno=2000'

@@ -106,3 +106,73 @@ def interp_tau_pallas(log_kappa, idx, t_w, p_w, mixcol, block_w=16384,
         interpret=interpret,
     )(idx, w4, mixcol, kq, kq, kq, kq)
     return out.reshape(nlayer, nwno)
+
+
+# ---------------------------------------------------------------------------
+# wavelength-block-major table layout: contiguous row fetches
+# ---------------------------------------------------------------------------
+
+def blocked_table(log_kappa, block_w=16384):
+    """Repack [nmol, npt, nwno] -> [npt, nwb, nmol, block_w] (padded with
+    the 1e-50 floor).
+
+    In the flat layout a (layer, wavelength-block) fetch is nmol strided
+    chunks of block_w*4 bytes ~212 MB apart — measured ~115 GB/s
+    effective on v5e (the whole-table sequential rate is 450 GB/s).  In
+    the blocked layout each of the 4 neighbor-row fetches is ONE
+    contiguous nmol*block_w*4-byte DMA.
+    """
+    nmol, npt, nwno = log_kappa.shape
+    block_w = max(128, min(block_w, nwno) // 128 * 128)
+    nwb = -(-nwno // block_w)
+    pad = nwb * block_w - nwno
+    lk = jnp.pad(log_kappa, ((0, 0), (0, 0), (0, pad)),
+                 constant_values=-50.0)
+    return jnp.transpose(lk.reshape(nmol, npt, nwb, block_w),
+                         (1, 2, 0, 3))
+
+
+def _blocked_kernel(idx_ref, w_ref, mix_ref, k0_ref, k1_ref, k2_ref,
+                    k3_ref, out_ref, *, nmol):
+    l = pl.program_id(0)
+    logk = (w_ref[0, l] * k0_ref[0, 0] + w_ref[1, l] * k1_ref[0, 0]
+            + w_ref[2, l] * k2_ref[0, 0] + w_ref[3, l] * k3_ref[0, 0])
+    kappa = jnp.exp(_LN10 * (logk + _LOG_AVO))   # [nmol, bw]
+    acc = mix_ref[0, l] * kappa[0:1, :]
+    for m in range(1, nmol):
+        acc = acc + mix_ref[m, l] * kappa[m:m + 1, :]
+    out_ref[...] = acc.reshape(1, 1, -1)
+
+
+@partial(jax.jit, static_argnames=('nwno', 'interpret'))
+def interp_tau_pallas_blocked(blocked, idx, t_w, p_w, mixcol, nwno,
+                              interpret=False):
+    """taugas [nlayer, nwno] from a :func:`blocked_table` layout —
+    identical arithmetic to :func:`interp_tau_pallas`."""
+    npt, nwb, nmol, block_w = blocked.shape
+    nlayer = idx.shape[1]
+    w4 = jnp.stack([(1 - t_w) * (1 - p_w), t_w * (1 - p_w),
+                    t_w * p_w, (1 - t_w) * p_w], 0).astype(blocked.dtype)
+    mixcol = mixcol.astype(blocked.dtype)
+    idx = idx.astype(jnp.int32)
+
+    def make_spec(q):
+        return pl.BlockSpec((1, 1, nmol, block_w),
+                            lambda l, b, idx_ref, w_ref, mix_ref:
+                            (idx_ref[q, l], b, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nlayer, nwb),
+        in_specs=[make_spec(0), make_spec(1), make_spec(2), make_spec(3)],
+        out_specs=pl.BlockSpec((1, 1, block_w),
+                               lambda l, b, *refs: (l, 0, b)),
+    )
+    out = pl.pallas_call(
+        partial(_blocked_kernel, nmol=nmol),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nlayer, 1, nwb * block_w),
+                                       blocked.dtype),
+        interpret=interpret,
+    )(idx, w4, mixcol, blocked, blocked, blocked, blocked)
+    return out.reshape(nlayer, -1)[:, :nwno]

@@ -67,6 +67,11 @@ def shard_grid(grid: OpacityGrid, mesh: Mesh) -> OpacityGrid:
     s_wave3 = NamedSharding(mesh, P(None, None, 'wave'))
     s_wave1 = NamedSharding(mesh, P('wave'))
     rep = NamedSharding(mesh, P())
+    blocked = grid.log_kappa_blocked
+    if blocked is not None:
+        # blocked layout [npt, nwb, nmol, block_w]: shard the block axis
+        blocked = jax.device_put(
+            blocked, NamedSharding(mesh, P(None, 'wave', None, None)))
     return OpacityGrid(
         wno=jax.device_put(grid.wno, s_wave1),
         log_kappa=jax.device_put(grid.log_kappa, s_wave3),
@@ -74,7 +79,8 @@ def shard_grid(grid: OpacityGrid, mesh: Mesh) -> OpacityGrid:
         cont_opa=jax.device_put(grid.cont_opa, s_wave3),
         cia_temps=jax.device_put(grid.cia_temps, rep),
         molecules=grid.molecules,
-        continuum_molecules=grid.continuum_molecules)
+        continuum_molecules=grid.continuum_molecules,
+        log_kappa_blocked=blocked)
 
 
 def sharded_forward(scene, grid, config, mesh):

@@ -143,9 +143,11 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                                       for i in config.mol_indices])]
     if config.use_pallas:
         # gather-fused kernel: reads only the 4 neighbor rows per layer
-        # and writes taugas directly (opacities/pallas_interp.py)
+        # and writes taugas directly (opacities/pallas_interp.py); the
+        # blocked layout makes each row fetch one contiguous DMA
         from .opacities.db import _find_indices
-        from .opacities.pallas_interp import interp_tau_pallas
+        from .opacities.pallas_interp import (interp_tau_pallas,
+                                              interp_tau_pallas_blocked)
         t_w, p_w, idx = _find_indices(grid.pt, scene.tlayer,
                                       scene.player / PCONV)
         colw = scene.colden / scene.mmw_layer
@@ -153,7 +155,12 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                            scene.mix.dtype)
         for j, i in enumerate(config.mol_indices):
             mixcol = mixcol.at[i].set(mix_cols[j] * colw)
-        taugas = interp_tau_pallas(grid.log_kappa, idx, t_w, p_w, mixcol)
+        if grid.log_kappa_blocked is not None:
+            taugas = interp_tau_pallas_blocked(
+                grid.log_kappa_blocked, idx, t_w, p_w, mixcol, nwno)
+        else:
+            taugas = interp_tau_pallas(grid.log_kappa, idx, t_w, p_w,
+                                       mixcol)
     else:
         kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
         kappa = kappa[jnp.asarray(config.mol_indices)]

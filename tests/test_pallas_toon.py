@@ -105,3 +105,39 @@ def test_interp_tau_parity():
                             block_w=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-5)
+
+
+def test_interp_tau_blocked_parity():
+    """Blocked-layout gather kernel == XLA path (incl. a non-128-multiple
+    nwno exercising the padded tail)."""
+    from picaso_tpu.opacities.db import _find_indices, interp_molecular
+    from picaso_tpu.opacities import assemble
+    from picaso_tpu.opacities.factory import synthetic_opacity_grid
+    from picaso_tpu.opacities.pallas_interp import (
+        blocked_table, interp_tau_pallas_blocked)
+
+    nwno, nlayer = 700, 12
+    wno = np.linspace(1000.0, 15000.0, nwno)
+    grid = synthetic_opacity_grid(wno, molecules=('H2O', 'CH4', 'CO'),
+                                  ntemp=6, npress=5)
+    rng = np.random.default_rng(3)
+    tlayer = jnp.asarray(rng.uniform(200.0, 2400.0, nlayer))
+    player = jnp.asarray(np.logspace(-5, 2, nlayer))
+    colden = jnp.asarray(rng.uniform(1.0, 100.0, nlayer))
+    mmw = jnp.asarray(rng.uniform(2.2, 2.4, nlayer))
+    mix = jnp.asarray(rng.uniform(1e-6, 1e-3, (3, nlayer)))
+
+    kappa = interp_molecular(grid, tlayer, player)
+    ref = assemble.molecular_tau(kappa, mix, colden, mmw)
+
+    t_w, p_w, idx = _find_indices(grid.pt, tlayer, player)
+    mixcol = mix * colden[None, :] / mmw[None, :]
+    blocked = blocked_table(grid.log_kappa, block_w=256)
+    assert blocked.shape == (30, 3, 3, 256)
+    out = interp_tau_pallas_blocked(blocked, idx, t_w, p_w, mixcol, nwno,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5)
+
+    g2 = grid.with_blocked_table(block_w=256)
+    assert g2.log_kappa_blocked is not None
