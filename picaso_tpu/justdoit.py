@@ -35,7 +35,8 @@ from . import units as u
 from .atmosphere import Atmosphere, build_atmosphere
 from .constants import PCONV, SB_SIGMA
 from .opacities import assemble
-from .opacities.db import (OpacityGrid, interp_molecular, load_opacity_db,
+from .opacities.db import (OpacityGrid, interp_molecular,
+                           interp_molecular_nearest, load_opacity_db,
                            nearest_continuum)
 from .optics import RTProps, combine_optics
 from .refdata import load_default_config, refdata_path
@@ -106,7 +107,12 @@ class Opacity:
     """
 
     def __init__(self, wno, grid=None, raman_db=None, ngauss=1,
-                 gauss_wts=None, ck=None):
+                 gauss_wts=None, ck=None, query_method='linear'):
+        if query_method not in ('linear', 'nearest'):
+            raise ValueError("query_method must be 'linear' (4-point "
+                             "bilinear, optics.py:2241) or 'nearest' "
+                             "(optics.py:2310, the reference default)")
+        self.query_method = query_method
         self.wno = np.asarray(wno)
         self.wave = 1e4 / self.wno
         self.nwno = len(self.wno)
@@ -156,7 +162,8 @@ class Opacity:
 
 def opannection(wave_range=None, filename_db=None, raman_db=None,
                 resample=1, method='resampled', ck_db=None, wno_grid=None,
-                molecules=None, verbose=True, ck_table=None, **kwargs):
+                molecules=None, verbose=True, ck_table=None,
+                query_method='linear', **kwargs):
     """Connect to an opacity source (TPU analog of justdoit.py:1296-1419).
 
     Parameters
@@ -209,7 +216,8 @@ def opannection(wave_range=None, filename_db=None, raman_db=None,
         filename_db = default
     grid = load_opacity_db(filename_db, wave_range=wave_range,
                            resample=resample, molecules=molecules)
-    return Opacity(np.asarray(grid.wno), grid=grid, raman_db=raman_table)
+    return Opacity(np.asarray(grid.wno), grid=grid, raman_db=raman_table,
+                   query_method=query_method)
 
 
 # ---------------------------------------------------------------------------
@@ -1112,8 +1120,11 @@ def _gas_optics(atm: Atmosphere, opa: Opacity, raman_approx, exclude_mol=1):
         used = [m for m in atm.molecules if m in opa.grid.molecules]
         if used:
             mol_idx = np.array([opa.grid.molecules.index(m) for m in used])
-            kappa = interp_molecular(opa.grid, jnp.asarray(atm.t_layer),
-                                     jnp.asarray(atm.p_layer / PCONV))
+            interp = (interp_molecular
+                      if getattr(opa, 'query_method', 'linear') == 'linear'
+                      else interp_molecular_nearest)
+            kappa = interp(opa.grid, jnp.asarray(atm.t_layer),
+                           jnp.asarray(atm.p_layer / PCONV))
             kappa = kappa[mol_idx]
             mix_cols = jnp.asarray(
                 np.stack([atm.mixing_ratio_layer(m) for m in used]))

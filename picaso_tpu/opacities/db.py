@@ -292,16 +292,21 @@ def nearest_continuum(opa: OpacityGrid, tlayer):
 def interp_molecular_nearest(opa: OpacityGrid, tlayer, player_bar):
     """Nearest-(T, P) molecular cross sections: [nmol, nlayer, nwno].
 
-    Port of optics.py:2310-2368 ``get_opacities_nearest``: instead of
-    the 4-point bilinear blend, each layer takes the single closest grid
-    point (rounded bilinear weights), which the reference offers for
-    speed/debugging parity checks.
+    Exact port of optics.py:2310-2368 ``get_opacities_nearest`` (the
+    reference's DEFAULT query method): each layer takes the flat grid
+    point minimizing hypot(ln P_grid - ln P_layer, T_grid - T_layer)
+    over ALL (T, P) pairs — note the euclidean mix of ln-pressure with
+    linear temperature is the reference's own metric.
     """
-    t_w, p_w, idx = _find_indices(opa.pt, tlayer, player_bar)
-    q = (jnp.round(t_w).astype(jnp.int32) * 2
-         + jnp.round(p_w).astype(jnp.int32))
-    # idx rows are (ll, hl, hh, lh); remap so q = 2*round(t) + round(p)
-    sel = jnp.stack([idx[0], idx[3], idx[1], idx[2]], 0)
-    pick = jnp.take_along_axis(sel, q[None, :], axis=0)[0]
+    pt = opa.pt
+    npt = opa.log_kappa.shape[1]
+    i = jnp.arange(npt)
+    t_index = jnp.searchsorted(pt.t_offset, i, side='right') - 1
+    T_flat = 1.0 / pt.t_inv_grid[t_index]
+    p_index = i - pt.t_offset[t_index]
+    lnP_flat = pt.p_log_grid[p_index] * jnp.log(10.0)
+    d2 = ((lnP_flat[None, :] - jnp.log(player_bar)[:, None]) ** 2
+          + (T_flat[None, :] - tlayer[:, None]) ** 2)
+    pick = jnp.argmin(d2, axis=1)
     logk = opa.log_kappa[:, pick, :]
     return 10.0 ** (logk + float(np.log10(AVOGADRO)))

@@ -375,6 +375,24 @@ def test_climate_full_parity(ref_jdi, ck_file):
     assert dt.max() < 2.0, f'max dT {dt.max():.2f} K'
 
 
+def test_nearest_query_parity(ref_jdi, syn_db):
+    """The reference's DEFAULT query_method='nearest' (hypot in
+    (ln P, T) over all grid pairs, optics.py:2310) matches picaso_tpu's
+    query_method='nearest' end-to-end."""
+    ref_opa = ref_jdi.opannection(wave_range=[1, 14], filename_db=syn_db)
+    # reference default constructor already binds get_opacities_nearest
+    ref_case = _setup_bd(ref_jdi, ref_jdi.u)
+    ref_df = ref_case.spectrum(ref_opa, calculation='thermal')
+
+    opa = jdi.opannection(wave_range=[1, 14], filename_db=syn_db,
+                          query_method='nearest')
+    case = _setup_bd(jdi, jdi.u)
+    df = case.spectrum(opa, calculation='thermal')
+
+    rel = _rel(df['thermal'], ref_df['thermal'])
+    assert rel.max() < 1e-4, f'max rel {rel.max():.3e}'
+
+
 def test_transit_1d_parity(ref_jdi, syn_db, star_file):
     """End-to-end transmission (hot Jupiter) vs reference get_transit_1d."""
     hj_pt = os.path.join(refshim.REFERENCE_REFDATA, 'base_cases', 'HJ.pt')
