@@ -59,10 +59,17 @@ def run_all(pattern='', examples_dir=None, timeout=1800, verbose=True):
     return results
 
 
-if __name__ == '__main__':
-    pattern = sys.argv[1] if len(sys.argv) > 1 else ''
+def main(argv=None):
+    """Console entry point (`picaso-tpu-integration`, the parity name
+    for the reference's picaso-notebooks runner)."""
+    argv = sys.argv[1:] if argv is None else argv
+    pattern = argv[0] if argv else ''
     res = run_all(pattern)
     if not res:
         print('no examples matched')
-        sys.exit(1)
-    sys.exit(0 if all(ok for ok, _ in res.values()) else 1)
+        return 1
+    return 0 if all(ok for ok, _ in res.values()) else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
