@@ -14,6 +14,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import tempfile
 
+import jax
+
+# the SH 2/4-stream sweep below needs float64 (rt/sh.py conditioning
+# note); x64 runs correctly (emulated) on TPU
+jax.config.update('jax_enable_x64', True)
+
 import numpy as np
 
 from picaso_tpu import justdoit as jdi
