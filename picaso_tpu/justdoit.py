@@ -163,7 +163,7 @@ class Opacity:
 def opannection(wave_range=None, filename_db=None, raman_db=None,
                 resample=1, method='resampled', ck_db=None, wno_grid=None,
                 molecules=None, verbose=True, ck_table=None,
-                query_method='linear', **kwargs):
+                query_method='linear', blocked=False, **kwargs):
     """Connect to an opacity source (TPU analog of justdoit.py:1296-1419).
 
     Parameters
@@ -216,6 +216,10 @@ def opannection(wave_range=None, filename_db=None, raman_db=None,
         filename_db = default
     grid = load_opacity_db(filename_db, wave_range=wave_range,
                            resample=resample, molecules=molecules)
+    if blocked:
+        # wavelength-block-major copy for the fast Pallas gather (one
+        # extra table-sized HBM allocation; see OpacityGrid)
+        grid = grid.with_blocked_table()
     return Opacity(np.asarray(grid.wno), grid=grid, raman_db=raman_table,
                    query_method=query_method)
 
