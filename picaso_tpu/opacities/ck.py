@@ -58,7 +58,8 @@ class CKTable:
 
     def __init__(self, arrays: CKArrays, molecules, full_abunds: pd.DataFrame,
                  gauss_pts, temps, pressures, per_gas=None,
-                 per_gas_molecules=None):
+                 per_gas_molecules=None, wno=None, delta_wno=None,
+                 gauss_wts=None):
         # optional per-gas ln-k tables [ngas, npress, ntemp, nwno, ngauss]
         # for on-the-fly resort-rebin mixing (disequilibrium chemistry)
         self.per_gas = per_gas
@@ -68,11 +69,17 @@ class CKTable:
         self.molecules = tuple(molecules)
         self.full_abunds = full_abunds      # includes pressure/temperature
         self.gauss_pts = np.asarray(gauss_pts)
-        self.gauss_wts = np.asarray(arrays.gauss_wts)
         self.temps = np.asarray(temps)
         self.pressures = np.asarray(pressures)
-        self.wno = np.asarray(arrays.wno)
-        self.delta_wno = np.asarray(arrays.delta_wno)
+        # callers pass the host copies of the device arrays when they have
+        # them: the first device->host readback of a process pays a long
+        # (up to minutes) axon-tunnel handshake, so table construction
+        # must never trigger one
+        self.gauss_wts = np.asarray(arrays.gauss_wts if gauss_wts is None
+                                    else gauss_wts)
+        self.wno = np.asarray(arrays.wno if wno is None else wno)
+        self.delta_wno = np.asarray(arrays.delta_wno if delta_wno is None
+                                    else delta_wno)
         self.nwno = len(self.wno)
         self.ngauss = len(self.gauss_wts)
         self.continuum_molecules = arrays.continuum_molecules
@@ -165,7 +172,9 @@ def load_ck_db(ck_db, method='preweighted', continuum_db=None,
         cont_opa=jnp.asarray(cont),
         cia_temps=jnp.asarray(cia_temps, dtype),
         continuum_molecules=cont_mols)
-    return CKTable(arrays, molecules, abunds, gauss_pts, temps, pressures)
+    return CKTable(arrays, molecules, abunds, gauss_pts, temps,
+                   pressures, wno=wno, delta_wno=delta_wno,
+                   gauss_wts=gauss_wts)
 
 
 def _load_per_gas_ck(ck_db, preload_gases, continuum_db, dtype):
@@ -211,7 +220,9 @@ def _load_per_gas_ck(ck_db, preload_gases, continuum_db, dtype):
         continuum_molecules=cont_mols)
     return CKTable(arrays, loaded, abunds, meta['gauss_pts'], temps,
                    pressures, per_gas=jnp.asarray(per_gas),
-                   per_gas_molecules=loaded)
+                   per_gas_molecules=loaded, wno=wno,
+                   delta_wno=meta['delta_wno'],
+                   gauss_wts=meta['gauss_wts'])
 
 
 def _load_legacy_ck(ck_db, continuum_db, dtype):
@@ -246,7 +257,8 @@ def _load_legacy_ck(ck_db, continuum_db, dtype):
         cia_temps=jnp.asarray(cia_temps, dtype),
         continuum_molecules=cont_mols)
     return CKTable(arrays, leg['molecules'], abunds, leg['gauss_pts'],
-                   temps, p_pos)
+                   temps, p_pos, wno=wno, delta_wno=leg['delta_wno'],
+                   gauss_wts=leg['gauss_wts'])
 
 
 def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
@@ -329,7 +341,8 @@ def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
             per_gas[ig] = base[..., None] + spread[None, None, None, :]
         per_gas = jnp.asarray(per_gas)
     return CKTable(arrays, molecules, abunds, gauss_pts, temps, pressures,
-                   per_gas=per_gas, per_gas_molecules=molecules)
+                   per_gas=per_gas, per_gas_molecules=molecules,
+                   wno=wno, delta_wno=delta_wno, gauss_wts=gauss_wts)
 
 
 # ---------------------------------------------------------------------------

@@ -5,9 +5,23 @@ TPU redesign of the reference SH path (``fluxes.py:2675-3628``): the
 reference assembles 5/11-diagonal banded matrices and calls
 ``scipy.linalg.solve_banded`` once per wavelength (the #2 hot loop).  Here
 the same systems are assembled directly in *block-tridiagonal* form (s x s
-blocks, s = stream) and solved by a block-Thomas ``lax.scan`` whose per-step
-small solves are batched across the whole wavelength axis — one fused XLA
-program, no per-wavelength Python.
+blocks, s = stream) and solved by a block-Thomas ``lax.scan``.
+
+Two TPU-shaped design decisions make this path fast (round 3; the round-2
+version ran the whole pipeline per disk angle and kept the s x s blocks in
+the minor-most array dims):
+
+1. **The block matrix is angle-independent.**  Only the beam source terms
+   (eta, z+-, b_surface) depend on the incidence angle ubar0
+   (fluxes.py:3243-3259 — lam/Q/R/S/p/q are functions of w0/dtau alone), so
+   :func:`reflected_sh` factors the system ONCE and carries all disk angles
+   as extra right-hand sides through a single elimination sweep.
+2. **Wavelength stays in the vector-lane dimension.**  The per-step s x s
+   pivoted Gauss-Jordan solves are fully unrolled over the (tiny, static)
+   block indices, so every arithmetic op is an elementwise [nwno] vector op
+   at full lane utilization — no [..., 4, 4] minor dims, no gather-based
+   pivoting (partial pivoting is a chain of |.|-compare row swaps via
+   ``jnp.where``).
 
 Matrix elements, eigenvalues (lam1/lam2), eta/Del source terms, boundary
 conditions, and the source-function TOA intensity recursions follow
@@ -33,18 +47,16 @@ _CLIP = 35.0
 # degenerate for optically thin layers): its condition number scales
 # like 1/dtau^2, so BOTH the assembly and the block-Thomas solve need
 # float64 — measured at f32 on the production-shaped bench problem the
-# albedo error is O(10-100%) broadband, and the earlier exponent-floor
-# mitigation merely traded NaNs for quietly-wrong answers.  The
-# reference only ever runs this path in float64 scipy
-# (fluxes.py:3610-3628).  The public entry points below therefore
-# promote f32 inputs to f64 internally (TPUs execute emulated f64
-# correctly — slower, but right) and cast back; if x64 is disabled,
-# they raise with instructions instead of returning garbage.
-_THIN32 = 0.0
-
-
-def _thin_floor(dtype):
-    return _THIN32 if dtype == jnp.float32 else 0.0
+# albedo error is O(10-100%) broadband (the f32-rounded matrix entries
+# alone, exp(-lam dtau) -> 1.0 exactly, already destroy the solution;
+# this is not fixable in the solver).  The reference only ever runs
+# this path in float64 scipy (fluxes.py:3610-3628).  On TPU, XLA
+# implements f64 as double-single f32 pairs — slower than f32 but
+# correct, and with the angle-shared factorization + lanes-last solver
+# above the full SH4 pipeline is minutes-to-milliseconds faster than
+# the round-2 version.  The public entry points promote f32 inputs to
+# f64 internally and cast back; if x64 is disabled, they raise with
+# instructions instead of returning garbage.
 
 
 def _require_f64(arrays):
@@ -64,8 +76,9 @@ def _require_f64(arrays):
             'system is ill-conditioned (cond ~ 1/dtau^2 for thin '
             'layers) and f32 yields O(1) spectral errors. Enable it '
             'with jax.config.update("jax_enable_x64", True) — float64 '
-            'executes correctly (emulated) on TPU — or use the Toon89 '
-            'path (rt_method="toon") which is f32-stable.')
+            'executes correctly (double-single emulated) on TPU — or '
+            'use the Toon89 path (rt_method="toon") which is '
+            'f32-stable.')
     promoted = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.float64)
         if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
@@ -99,92 +112,120 @@ def _scaled_bet(exptrm_lam, trans_u1, beta, dtau, eps=1e-4):
     return jnp.where(jnp.abs(beta) < eps, limit, num / safe)
 
 
-def _gauss_solve(A, B):
-    """Batched s x s solve A @ X = B via explicit partial-pivot Gaussian
-    elimination (A [..., s, s], B [..., s, k]).
+# ---------------------------------------------------------------------------
+# lanes-last block-tridiagonal solver
+# ---------------------------------------------------------------------------
 
-    Written in plain jnp arithmetic because lax.linalg LU has no float64
-    lowering on TPU — and the SH solve must run in f64 there (see the
-    conditioning note at the top of this module).  s is 2 or 4, so the
-    unrolled loop stays tiny.
+def _gj_solve(M, s, ncols, pivot):
+    """In-place Gauss-Jordan on an s x (s+ncols) augmented row list.
+
+    ``M`` is a list of s rows, each a list of s+ncols elementwise arrays
+    (lanes-last).  Partial pivoting is a chain of compare-and-swap row
+    exchanges on |column i| — running max, no gathers.  Returns the
+    solution columns (list of s rows x ncols).
     """
-    s = A.shape[-1]
-    M = jnp.concatenate([A, B], axis=-1)            # [..., s, s+k]
-    ar = jnp.arange(s)
+    ntot = s + ncols
     for i in range(s):
-        # partial pivot: row j >= i maximizing |M[..., j, i]|
-        col = jnp.abs(M[..., :, i])
-        col = jnp.where(ar >= i, col, -jnp.inf)
-        p = jnp.argmax(col, axis=-1)                # [...]
-        perm = jnp.where(ar == i, p[..., None],
-                         jnp.where(ar == p[..., None], i, ar))
-        M = jnp.take_along_axis(M, perm[..., None], axis=-2)
-        piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
-        fac = M[..., :, i:i + 1]
-        elim = jnp.where((ar != i)[..., None], fac * piv, 0.0)
-        M = M - elim
-        M = M.at[..., i, :].set(piv[..., 0, :])
-    return M[..., s:]
+        if pivot:
+            for r in range(i + 1, s):
+                swap = jnp.abs(M[r][i]) > jnp.abs(M[i][i])
+                for c in range(i, ntot):
+                    top, bot = M[i][c], M[r][c]
+                    M[i][c] = jnp.where(swap, bot, top)
+                    M[r][c] = jnp.where(swap, top, bot)
+        inv = 1.0 / M[i][i]
+        for c in range(i + 1, ntot):
+            M[i][c] = M[i][c] * inv
+        for r in range(s):
+            if r == i:
+                continue
+            fac = M[r][i]
+            for c in range(i + 1, ntot):
+                M[r][c] = M[r][c] - fac * M[i][c]
+    return [row[s:] for row in M]
 
 
-def block_tridiag_solve(A, B, C, D, refine=1):
-    """Solve the block-tridiagonal system with s x s blocks.
+def _rows(x, s, ncols):
+    """[s, ncols, ...] array -> list-of-lists of lanes-last slices."""
+    return [[x[i, j] for j in range(ncols)] for i in range(s)]
 
-    A, B, C: [n, s, s, nwno] (A[0] and C[-1] ignored); D: [n, s, nwno].
-    Block-Thomas forward elimination + back substitution; the s x s solves
-    batch over the wavelength axis via :func:`_gauss_solve` (explicit
-    pivoted elimination — f64-capable on TPU, unlike lax.linalg LU).
-    ``refine`` steps of iterative refinement (residual re-solve through
-    the same sweep) tighten the block recursion further; the reference
-    leans on float64 scipy here (fluxes.py:3610-3628).
-    Returns y [n, s, nwno].
+
+def _stack(rows):
+    return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
+
+
+def block_tridiag_solve(A, B, C, D, pivot=True):
+    """Solve the block-tridiagonal system with s x s blocks, lanes-last.
+
+    A, B, C: [n, s, s, nw] (A[0] and C[-1] ignored); D: [n, s, nw] for a
+    single right-hand side or [n, s, nr, nw] for nr of them.  One
+    block-Thomas forward elimination serves every RHS (the Cp recursion —
+    the expensive part — is shared).  The per-step s x s solves are
+    unrolled pivoted Gauss-Jordan on [nw]-vector entries (see module
+    docstring).  Returns y with D's shape.
     """
-    # reorder to [n, nwno, s, s] for batched small solves
-    A = jnp.moveaxis(A, -1, 1)
-    B = jnp.moveaxis(B, -1, 1)
-    C = jnp.moveaxis(C, -1, 1)
-    D = jnp.moveaxis(D, -1, 1)[..., None]    # [n, nwno, s, 1]
+    single = D.ndim == 3
+    if single:
+        D = D[:, :, None, :]
+    n, s, nr = D.shape[0], D.shape[1], D.shape[2]
+
+    def first(B0, C0, D0):
+        M = [[B0[i, j] for j in range(s)]
+             + [C0[i, j] for j in range(s)]
+             + [D0[i, r] for r in range(nr)] for i in range(s)]
+        sol = _gj_solve(M, s, s + nr, pivot)
+        Cp = _stack([row[:s] for row in sol])
+        Dp = _stack([row[s:] for row in sol])
+        return Cp, Dp
 
     def fwd(carry, row):
         Cp_prev, Dp_prev = carry
         Ak, Bk, Ck, Dk = row
-        denom = Bk - Ak @ Cp_prev
-        Cp = _gauss_solve(denom, Ck)
-        Dp = _gauss_solve(denom, Dk - Ak @ Dp_prev)
+        # denom = Bk - Ak @ Cp_prev ; rhs_D = Dk - Ak @ Dp_prev (unrolled)
+        M = []
+        for i in range(s):
+            r = []
+            for j in range(s):
+                acc = Bk[i, j]
+                for k in range(s):
+                    acc = acc - Ak[i, k] * Cp_prev[k, j]
+                r.append(acc)
+            for j in range(s):
+                r.append(Ck[i, j])
+            for q in range(nr):
+                acc = Dk[i, q]
+                for k in range(s):
+                    acc = acc - Ak[i, k] * Dp_prev[k, q]
+                r.append(acc)
+            M.append(r)
+        sol = _gj_solve(M, s, s + nr, pivot)
+        Cp = _stack([row[:s] for row in sol])
+        Dp = _stack([row[s:] for row in sol])
         return (Cp, Dp), (Cp, Dp)
 
     def back(y_next, row):
         Cp_k, Dp_k = row
-        y_k = Dp_k - Cp_k @ y_next
+        rows = []
+        for i in range(s):
+            rr = []
+            for q in range(nr):
+                acc = Dp_k[i, q]
+                for j in range(s):
+                    acc = acc - Cp_k[i, j] * y_next[j, q]
+                rr.append(acc)
+            rows.append(rr)
+        y_k = _stack(rows)
         return y_k, y_k
 
-    def solve_rhs(Dv):
-        Cp0 = _gauss_solve(B[0], C[0])
-        Dp0 = _gauss_solve(B[0], Dv[0])
-        (_, _), (Cp_rest, Dp_rest) = jax.lax.scan(
-            fwd, (Cp0, Dp0), (A[1:], B[1:], C[1:], Dv[1:]))
-        Cp = jnp.concatenate([Cp0[None], Cp_rest], axis=0)
-        Dp = jnp.concatenate([Dp0[None], Dp_rest], axis=0)
-        y_last = Dp[-1]
-        _, ys = jax.lax.scan(back, y_last, (Cp[:-1], Dp[:-1]),
-                             reverse=True)
-        return jnp.concatenate([ys, y_last[None]], axis=0)  # [n,nw,s,1]
-
-    def matvec(y):
-        mid = B @ y
-        lo = jnp.concatenate([jnp.zeros_like(y[:1]),
-                              A[1:] @ y[:-1]], axis=0)
-        hi = jnp.concatenate([C[:-1] @ y[1:],
-                              jnp.zeros_like(y[:1])], axis=0)
-        return mid + lo + hi
-
-    # TPU matmuls default to bf16 inputs — fatal for the elimination's
-    # s x s products; force full f32 within the solver
-    with jax.default_matmul_precision('highest'):
-        y = solve_rhs(D)
-        for _ in range(refine):
-            y = y + solve_rhs(D - matvec(y))
-    return jnp.moveaxis(y[..., 0], 1, -1)             # [n, s, nwno]
+    Cp0, Dp0 = first(B[0], C[0], D[0])
+    (_, _), (Cp_rest, Dp_rest) = jax.lax.scan(
+        fwd, (Cp0, Dp0), (A[1:], B[1:], C[1:], D[1:]))
+    Cp = jnp.concatenate([Cp0[None], Cp_rest], axis=0)
+    Dp = jnp.concatenate([Dp0[None], Dp_rest], axis=0)
+    y_last = Dp[-1]
+    _, ys = jax.lax.scan(back, y_last, (Cp[:-1], Dp[:-1]), reverse=True)
+    y = jnp.concatenate([ys, y_last[None]], axis=0)   # [n, s, nr, nw]
+    return y[:, :, 0, :] if single else y
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +234,13 @@ def block_tridiag_solve(A, B, C, D, refine=1):
 
 def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
                 calculation, b0=None, b1=None):
+    """2-stream SH block system.
+
+    For reflected light (``calculation=0``) ``ubar0`` is a vector of nr
+    beam angles and ``b``/``b_surface`` carry a leading/first nr axis; the
+    source terms (eta, z+-) gain an nr axis while the matrix blocks (T,
+    Fm) stay angle-independent.  Thermal (``calculation=1``) has nr=1.
+    """
     nlayer, nwno = dtau.shape
     lam = jnp.sqrt(a[0] * a[1])
     if calculation == 0:
@@ -201,22 +249,22 @@ def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
         # unguarded f64); dither u0 elementwise off the eigenvalue like
         # the Toon path (toon._dither_u0) and use the dithered angle
         # consistently in Del, eta, and the exp(-tau/u0) attenuation.
-        u0b = _dither_u0(lam, ubar0)
+        u0b = _dither_u0(lam, ubar0[:, None, None])     # [nr, n, nw]
         Del = (1.0 / u0b) ** 2 - a[0] * a[1]
         eta = jnp.stack([(b[1] / u0b - a[1] * b[0]) / Del,
                          (b[0] / u0b - a[0] * b[1]) / Del])
     else:
-        u0b = jnp.full_like(dtau, 1.0)
-        eta = jnp.zeros((2, nlayer, nwno), dtau.dtype)
+        u0b = jnp.ones((1, nlayer, nwno), dtau.dtype)
+        eta = jnp.zeros((2, 1, nlayer, nwno), dtau.dtype)
 
-    exptrm = jnp.exp(-jnp.clip(lam * dtau, _thin_floor(dtau.dtype), _CLIP))
+    exptrm = jnp.exp(-jnp.clip(lam * dtau, 0.0, _CLIP))
     q = lam / a[1]
     Q1 = (0.5 + q) * 2 * PI
     Q2 = (0.5 - q) * 2 * PI
     Q1mn, Q2mn = Q1 * exptrm, Q2 * exptrm
 
     if calculation == 0:
-        zmn = (0.5 * eta[0] - eta[1]) * 2 * PI
+        zmn = (0.5 * eta[0] - eta[1]) * 2 * PI           # [nr, n, nw]
         zpl = (0.5 * eta[0] + eta[1]) * 2 * PI
         zmn_up, zpl_up = (zmn * jnp.exp(-tau[1:] / u0b),
                           zpl * jnp.exp(-tau[1:] / u0b))
@@ -224,10 +272,10 @@ def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
                               zpl * jnp.exp(-tau[:-1] / u0b))
     else:
         pref = (1 - w0) / a[0] * 2 * PI
-        zmn_down = pref * (b0 / 2 - b1 / a[1])
-        zmn_up = pref * (b0 / 2 - b1 / a[1] + b1 * dtau / 2)
-        zpl_down = pref * (b0 / 2 + b1 / a[1])
-        zpl_up = pref * (b0 / 2 + b1 / a[1] + b1 * dtau / 2)
+        zmn_down = (pref * (b0 / 2 - b1 / a[1]))[None]
+        zmn_up = (pref * (b0 / 2 - b1 / a[1] + b1 * dtau / 2))[None]
+        zpl_down = (pref * (b0 / 2 + b1 / a[1]))[None]
+        zpl_up = (pref * (b0 / 2 + b1 / a[1] + b1 * dtau / 2))[None]
 
     # per-layer top (T) and bottom (f) matrices; rows: [mn-rows, pl-rows].
     # The growing-mode coefficient is SCALED per layer (X2' = X2/exptrm,
@@ -243,10 +291,11 @@ def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
 
     T = rows(Q1, Q2mn, Q2, Q1mn)
     Fm = rows(Q1mn, Q2, Q2mn, Q1)
-    z_down = jnp.stack([zmn_down, zpl_down], 1)  # [n, 2, nw]
-    z_up = jnp.stack([zmn_up, zpl_up], 1)
-    b_top_vec = jnp.stack([jnp.broadcast_to(b_top, (nwno,))], 0)
-    b_surf_vec = jnp.stack([b_surface], 0)
+    z_down = jnp.stack([zmn_down, zpl_down], 2)  # [nr, n, 2, nw]
+    z_up = jnp.stack([zmn_up, zpl_up], 2)
+    nr = z_down.shape[0]
+    b_top_vec = jnp.broadcast_to(b_top, (nr, 1, nwno))
+    b_surf_vec = jnp.reshape(b_surface, (nr, 1, nwno))
 
     aux = dict(lam=lam, q=q, eta=eta, Q1=Q1, Q2=Q2,
                zpl_up=zpl_up, exptrm=exptrm, u0b=u0b)
@@ -259,6 +308,7 @@ def _sh2_system(w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, ubar0,
 
 def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
                 surf_reflect, ubar0, calculation, b0=None, b1=None):
+    """4-stream SH block system; angle/source layout as :func:`_sh2_system`."""
     nlayer, nwno = dtau.shape
     beta = a[0] * a[1] + 4 * a[0] * a[3] / 9 + a[2] * a[3] / 9
     gama = a[0] * a[1] * a[2] * a[3] / 9
@@ -268,7 +318,8 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
 
     if calculation == 0:
         # dither off BOTH eigenvalue resonances (see _sh2_system)
-        u0b = _dither_u0(lam2, _dither_u0(lam1, ubar0))
+        u0v = ubar0[:, None, None]                       # [nr, 1, 1]
+        u0b = _dither_u0(lam2, _dither_u0(lam1, u0v))    # [nr, n, nw]
         u0i = 1.0 / u0b
         Del = 9 * (u0i ** 4 - beta * u0i ** 2 + gama)
         Dels0 = ((a[1] * b[0] - b[1] * u0i) * (a[2] * a[3] - 9 * u0i ** 2)
@@ -282,17 +333,16 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
                  + 2 * (3 * a[0] * b[1] - 2 * a[0] * b[3] - 3 * b[0] * u0i)
                  * u0i ** 2)
         eta = jnp.stack([Dels0 / Del, Dels1 / Del, Dels2 / Del,
-                         Dels3 / Del])
+                         Dels3 / Del])                   # [4, nr, n, nw]
         z1pl = (eta[0] / 2 + eta[1] + 5 * eta[2] / 8) * 2 * PI
         z1mn = (eta[0] / 2 - eta[1] + 5 * eta[2] / 8) * 2 * PI
         z2pl = (-eta[0] / 8 + 5 * eta[2] / 8 + eta[3]) * 2 * PI
         z2mn = (-eta[0] / 8 + 5 * eta[2] / 8 - eta[3]) * 2 * PI
     else:
-        eta = jnp.zeros((4, nlayer, nwno), dtau.dtype)
+        eta = jnp.zeros((4, 1, nlayer, nwno), dtau.dtype)
 
-    thin = _thin_floor(dtau.dtype)
-    exptrm1 = jnp.exp(-jnp.clip(lam1 * dtau, thin, _CLIP))
-    exptrm2 = jnp.exp(-jnp.clip(lam2 * dtau, thin, _CLIP))
+    exptrm1 = jnp.exp(-jnp.clip(lam1 * dtau, 0.0, _CLIP))
+    exptrm2 = jnp.exp(-jnp.clip(lam2 * dtau, 0.0, _CLIP))
 
     R1, R2 = -a[0] / lam1, -a[0] / lam2
     Q1 = 0.5 * (a[0] * a[1] / lam1 ** 2 - 1)
@@ -328,17 +378,17 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
         z1mn_down, z2mn_down = z1mn * ex_dn, z2mn * ex_dn
         z1pl_down, z2pl_down = z1pl * ex_dn, z2pl * ex_dn
     else:
-        u0b = jnp.full_like(dtau, 1.0)
+        u0b = jnp.ones((1, nlayer, nwno), dtau.dtype)
         pref = (1 - w0) / a[0] * 2 * PI
         pref2 = -0.5 * (1 - w0) / (4 * a[0]) * 2 * PI
-        z1mn_up = pref * (b0 / 2 - b1 / a[1] + b1 * dtau / 2)
-        z2mn_up = pref2 * (b0 + b1 * dtau)
-        z1pl_up = pref * (b0 / 2 + b1 / a[1] + b1 * dtau / 2)
-        z2pl_up = pref2 * (b0 + b1 * dtau)
-        z1mn_down = pref * (b0 / 2 - b1 / a[1])
-        z2mn_down = pref2 * b0
-        z1pl_down = pref * (b0 / 2 + b1 / a[1])
-        z2pl_down = pref2 * b0
+        z1mn_up = (pref * (b0 / 2 - b1 / a[1] + b1 * dtau / 2))[None]
+        z2mn_up = (pref2 * (b0 + b1 * dtau))[None]
+        z1pl_up = (pref * (b0 / 2 + b1 / a[1] + b1 * dtau / 2))[None]
+        z2pl_up = (pref2 * (b0 + b1 * dtau))[None]
+        z1mn_down = (pref * (b0 / 2 - b1 / a[1]))[None]
+        z2mn_down = (pref2 * b0)[None]
+        z1pl_down = (pref * (b0 / 2 + b1 / a[1]))[None]
+        z2pl_down = (pref2 * b0)[None]
 
     def rows4(r0, r1, r2, r3):
         return jnp.stack([jnp.stack(r0, 1), jnp.stack(r1, 1),
@@ -350,14 +400,13 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
               (q1pl, q1mn * exptrm1, q2pl, q2mn * exptrm2))
     Fm = rows4((f00, f01, f02, f03), (f10, f11, f12, f13),
                (f20, f21, f22, f23), (f30, f31, f32, f33))
-    z_down = jnp.stack([z1mn_down, z2mn_down, z1pl_down, z2pl_down], 1)
-    z_up = jnp.stack([z1mn_up, z2mn_up, z1pl_up, z2pl_up], 1)
-    nw = dtau.shape[1]
-    b_top_vec = jnp.stack([jnp.broadcast_to(b_top, (nw,)),
-                           jnp.broadcast_to(-b_top / 4.0
-                                            if not hasattr(b_top, 'shape')
-                                            else -b_top / 4.0, (nw,))], 0)
-    b_surf_vec = jnp.stack([b_surface, b_surface_sh4], 0)
+    z_down = jnp.stack([z1mn_down, z2mn_down, z1pl_down, z2pl_down], 2)
+    z_up = jnp.stack([z1mn_up, z2mn_up, z1pl_up, z2pl_up], 2)
+    nr = z_down.shape[0]
+    bt = jnp.broadcast_to(jnp.asarray(b_top), (nr, nwno))
+    b_top_vec = jnp.stack([bt, -bt / 4.0], 1)            # [nr, 2, nw]
+    b_surf_vec = jnp.stack([jnp.reshape(b_surface, (nr, nwno)),
+                            jnp.reshape(b_surface_sh4, (nr, nwno))], 1)
 
     # eigenvector matrix for the source-function technique
     ones = jnp.ones_like(R1)
@@ -373,9 +422,15 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
 
 def _solve_sh(T, Fm, z_down, z_up, b_top_vec, b_surf_vec, surf_reflect,
               stream):
-    """Assemble block-tridiagonal system and solve for X [n, s, nw]."""
+    """Assemble the block-tridiagonal system and solve for X.
+
+    T, Fm: [n, s, s, nw] (angle-independent); z_down/z_up: [nr, n, s, nw];
+    b_top_vec/b_surf_vec: [nr, h, nw].  One factorization, nr right-hand
+    sides.  Returns X [n, s, nr, nw].
+    """
     n, s, _, nw = T.shape
     h = s // 2
+    nr = z_down.shape[0]
     zero_blk = jnp.zeros((n - 1, h, s, nw), T.dtype)
 
     # A blocks: rows [f_pl_rows[k-1]; 0] for k>=1
@@ -395,21 +450,22 @@ def _solve_sh(T, Fm, z_down, z_up, b_top_vec, b_surf_vec, surf_reflect,
         jnp.concatenate([zero_blk, -T[1:, :h]], axis=1),
         jnp.zeros((1, s, s, nw), T.dtype)], axis=0)
 
-    # D blocks
+    # D blocks, per RHS: [nr, n, s, nw]
     D_first = jnp.concatenate([
-        (b_top_vec - z_down[0, :h])[None],
-        (z_down[1, :h] - z_up[0, :h])[None]], axis=1)
+        b_top_vec - z_down[:, 0, :h],
+        z_down[:, 1, :h] - z_up[:, 0, :h]], axis=1)[:, None]
     if n > 2:
         D_mid = jnp.concatenate([
-            z_down[1:-1, h:] - z_up[:-2, h:],
-            z_down[2:, :h] - z_up[1:-1, :h]], axis=1)
+            z_down[:, 1:-1, h:] - z_up[:, :-2, h:],
+            z_down[:, 2:, :h] - z_up[:, 1:-1, :h]], axis=2)
     else:
-        D_mid = jnp.zeros((0, s, nw), T.dtype)
+        D_mid = jnp.zeros((nr, 0, s, nw), T.dtype)
     D_last = jnp.concatenate([
-        (z_down[-1, h:] - z_up[-2, h:])[None],
-        (b_surf_vec - z_up[-1, h:]
-         + surf_reflect * z_up[-1, :h])[None]], axis=1)
-    D = jnp.concatenate([D_first, D_mid, D_last], axis=0)
+        z_down[:, -1, h:] - z_up[:, -2, h:],
+        (b_surf_vec - z_up[:, -1, h:]
+         + surf_reflect * z_up[:, -1, :h])], axis=1)[:, None]
+    D = jnp.concatenate([D_first, D_mid, D_last], axis=1)
+    D = jnp.moveaxis(D, 0, 2)                       # [n, s, nr, nw]
 
     return block_tridiag_solve(A, B, C, D)
 
@@ -441,65 +497,29 @@ def _w_expansions(stream, w_form, rayleigh_on, cosb_og, ftau_cld, ftau_ray,
     return w
 
 
-def _reflected_sh_one_angle(props, surf_reflect, u0, u1, cos_theta, F0PI,
-                            stream, controls, w_single_form, w_multi_form,
-                            psingle_form, w_single_rayleigh,
-                            w_multi_rayleigh, psingle_rayleigh, single_form,
-                            b_top):
-    dtau, tau, w0 = props.dtau, props.tau, props.w0
-    cosb_og, w0_og = props.cosb_og, props.w0_og
-    dtau_og, tau_og = props.dtau_og, props.tau_og
-    ftau_cld, ftau_ray, f_deltaM = (props.ftau_cld, props.ftau_ray,
-                                    props.f_deltaM)
-    nlayer, nwno = dtau.shape
+def _sh_intensity(props, X, eta, u0b, u0, u1, cos_theta, F0PI, stream, aux,
+                  w_single, w_multi, controls, psingle_form,
+                  psingle_rayleigh, single_form, flux_bot):
+    """TOA intensity recursion for ONE outgoing angle (fluxes.py:2900-2972).
 
+    X [n, s, nw] and eta/u0b carry this angle's solved coefficients and
+    dithered beam angle; ``u0`` is the raw (undithered) incidence cosine
+    used in the single-scattering attenuation, matching the reference.
+    """
+    dtau, tau = props.dtau, props.tau
+    w0, cosb_og, w0_og = props.w0, props.cosb_og, props.w0_og
+    dtau_og, tau_og = props.dtau_og, props.tau_og
+    ftau_cld, ftau_ray = props.ftau_cld, props.ftau_ray
     Pu0 = legP(-u0)
     Pu1 = legP(u1)
 
-    w_single = _w_expansions(stream, w_single_form, w_single_rayleigh,
-                             cosb_og, ftau_cld, ftau_ray, f_deltaM,
-                             controls)
-    w_multi = _w_expansions(stream, w_multi_form, w_multi_rayleigh,
-                            cosb_og, ftau_cld, ftau_ray, f_deltaM, controls)
-
-    a = jnp.stack([(2 * l + 1) - w0 * w_multi[l] for l in range(stream)])
-    b = jnp.stack([(F0PI * (w0 * w_single[l])) * Pu0[l] / (4 * PI)
-                   for l in range(stream)])
-
-    b_surface = 0.0 + surf_reflect * u0 * F0PI * jnp.exp(-tau[-1] / u0)
-    b_surface_sh4 = -(0.0 + surf_reflect * u0 * F0PI
-                      * jnp.exp(-tau[-1] / u0)) / 4
-
-    if stream == 2:
-        T, Fm, z_down, z_up, btv, bsv, aux = _sh2_system(
-            w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, u0, 0)
-    else:
-        T, Fm, z_down, z_up, btv, bsv, aux = _sh4_system(
-            w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
-            surf_reflect, u0, 0)
-    X = _solve_sh(T, Fm, z_down, z_up, btv, bsv, surf_reflect, stream)
-
-    # flux at bottom for the intensity recursion base (X[:, 1] is the
-    # per-layer SCALED growing-mode coefficient — see _sh2_system)
-    if stream == 2:
-        Q2mn = aux['Q2'] * aux['exptrm']
-        flux_bot = (Q2mn[-1] * X[-1, 0] + aux['Q1'][-1] * X[-1, 1]
-                    + aux['zpl_up'][-1])
-    else:
-        f20, f21, f22, f23 = aux['f2']
-        flux_bot = (f20[-1] * X[-1, 0] + f21[-1] * X[-1, 1]
-                    + f22[-1] * X[-1, 2] + f23[-1] * X[-1, 3]
-                    + aux['z1pl_up'][-1])
-
     # pair the eta source integrals with the DITHERED beam angle used in
-    # the solve (aux['u0b']) so near-resonance cancellations stay exact
-    u0b = aux['u0b']
+    # the solve (u0b) so near-resonance cancellations stay exact
     mus = (u1 + u0b) / (u1 * u0b)
     exptrm_mus = (1 - jnp.exp(-_clip(mus * dtau))) / mus
     exptau_mu = jnp.exp(-_clip(tau[:-1] / u0b))
     expon1 = exptrm_mus * exptau_mu
 
-    eta = aux['eta']
     trans_u1 = jnp.exp(-_clip(dtau / u1))
     if stream == 2:
         lam, q = aux['lam'], aux['q']
@@ -578,19 +598,68 @@ def reflected_sh(props, surf_reflect, ubar0, ubar1, cos_theta, F0PI,
                  b_top=0.0):
     """Reflected light, SH 2/4-stream; replaces fluxes.py:2675-2976.
 
+    The block matrix is factored once; all ng x nt disk angles ride the
+    same elimination as extra right-hand sides (see module docstring).
     Returns xint_at_top [ng, nt, nwno].
     """
     ng, nt = ubar0.shape
     ((props, surf_reflect, ubar0, ubar1, F0PI),
      restore) = _require_f64((props, surf_reflect, ubar0, ubar1, F0PI))
 
-    def per_angle(u0, u1):
-        return _reflected_sh_one_angle(
-            props, surf_reflect, u0, u1, cos_theta, F0PI, stream, controls,
-            w_single_form, w_multi_form, psingle_form, w_single_rayleigh,
-            w_multi_rayleigh, psingle_rayleigh, single_form, b_top)
+    dtau, tau, w0 = props.dtau, props.tau, props.w0
+    cosb_og = props.cosb_og
+    ftau_cld, ftau_ray, f_deltaM = (props.ftau_cld, props.ftau_ray,
+                                    props.f_deltaM)
+    u0s = ubar0.reshape(-1)                              # [nr]
+    u1s = ubar1.reshape(-1)
 
-    xint = jax.vmap(per_angle)(ubar0.reshape(-1), ubar1.reshape(-1))
+    w_single = _w_expansions(stream, w_single_form, w_single_rayleigh,
+                             cosb_og, ftau_cld, ftau_ray, f_deltaM,
+                             controls)
+    w_multi = _w_expansions(stream, w_multi_form, w_multi_rayleigh,
+                            cosb_og, ftau_cld, ftau_ray, f_deltaM, controls)
+
+    a = jnp.stack([(2 * l + 1) - w0 * w_multi[l] for l in range(stream)])
+    # beam sources for every angle: b[l] has shape [nr, nlayer, nwno]
+    Pu0s = legP(-u0s[:, None, None])
+    b = jnp.stack([(F0PI * (w0 * w_multi[l]))[None] * Pu0s[l] / (4 * PI)
+                   for l in range(stream)])
+    b_surface = (0.0 + surf_reflect * u0s[:, None] * F0PI
+                 * jnp.exp(-tau[-1][None] / u0s[:, None]))   # [nr, nw]
+    b_surface_sh4 = -b_surface / 4
+
+    if stream == 2:
+        T, Fm, z_down, z_up, btv, bsv, aux = _sh2_system(
+            w0, dtau, tau, a, b, b_top, b_surface, surf_reflect, u0s, 0)
+    else:
+        T, Fm, z_down, z_up, btv, bsv, aux = _sh4_system(
+            w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
+            surf_reflect, u0s, 0)
+    X = _solve_sh(T, Fm, z_down, z_up, btv, bsv, surf_reflect, stream)
+    X = jnp.moveaxis(X, 2, 0)                            # [nr, n, s, nw]
+
+    # flux at bottom for the intensity recursion base (X[:, 1] is the
+    # per-layer SCALED growing-mode coefficient — see _sh2_system)
+    if stream == 2:
+        Q2mn = aux['Q2'] * aux['exptrm']
+        flux_bot = (Q2mn[-1] * X[:, -1, 0] + aux['Q1'][-1] * X[:, -1, 1]
+                    + aux['zpl_up'][:, -1])
+    else:
+        f20, f21, f22, f23 = aux['f2']
+        flux_bot = (f20[-1] * X[:, -1, 0] + f21[-1] * X[:, -1, 1]
+                    + f22[-1] * X[:, -1, 2] + f23[-1] * X[:, -1, 3]
+                    + aux['z1pl_up'][:, -1])
+
+    eta = jnp.moveaxis(aux['eta'], 1, 0)                 # [nr, stream, n, nw]
+    u0b = aux['u0b']                                     # [nr, n, nw]
+
+    def per_angle(Xr, etar, u0br, u0, u1, fb):
+        return _sh_intensity(props, Xr, etar, u0br, u0, u1, cos_theta,
+                             F0PI, stream, aux, w_single, w_multi, controls,
+                             psingle_form, psingle_rayleigh, single_form,
+                             fb)
+
+    xint = jax.vmap(per_angle)(X, eta, u0b, u0s, u1s, flux_bot)
     return restore(xint.reshape(ng, nt, -1))
 
 
@@ -627,17 +696,18 @@ def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
     w_multi = jnp.stack([(2 * l + 1) * (cosb_og ** l - ff) / (1 - ff)
                          for l in range(stream)])
     a = jnp.stack([(2 * l + 1) - w0 * w_multi[l] for l in range(stream)])
-    bb = jnp.zeros((stream, nlayer, nwno), dtau.dtype)
+    bb = jnp.zeros((stream, 1, nlayer, nwno), dtau.dtype)
 
     if stream == 2:
         T, Fm, z_down, z_up, btv, bsv, aux = _sh2_system(
-            w0, dtau, tau, a, bb, b_top, b_surface, surf_reflect, 0.0, 1,
-            b0=b0, b1=b1)
+            w0, dtau, tau, a, bb, b_top, b_surface, surf_reflect,
+            jnp.ones((1,), dtau.dtype), 1, b0=b0, b1=b1)
     else:
         T, Fm, z_down, z_up, btv, bsv, aux = _sh4_system(
             w0, dtau, tau, a, bb, b_top, b_surface, b_surface_sh4,
-            surf_reflect, 0.0, 1, b0=b0, b1=b1)
-    X = _solve_sh(T, Fm, z_down, z_up, btv, bsv, surf_reflect, stream)
+            surf_reflect, jnp.ones((1,), dtau.dtype), 1, b0=b0, b1=b1)
+    X = _solve_sh(T, Fm, z_down, z_up, btv, bsv, surf_reflect,
+                  stream)[:, :, 0, :]                    # [n, s, nw]
 
     def per_angle(u1):
         Pu1 = legP(u1)

@@ -229,12 +229,14 @@ def _reference_dense_4stream(w0, dtau, tau, a, b, b_top, b_surface,
 def test_sh2_solution_matches_reference_system():
     (w0, dtau, tau, a, b, b_top, b_surface, _, surf_reflect,
      u0) = _random_inputs(2)
+    # new API: angle axis nr=1 on b / b_surface / ubar0
     T, Fm, z_down, z_up, btv, bsv, aux = _sh2_system(
         jnp.asarray(w0), jnp.asarray(dtau), jnp.asarray(tau),
-        jnp.asarray(a), jnp.asarray(b), b_top, jnp.asarray(b_surface),
-        jnp.asarray(surf_reflect), u0, 0)
+        jnp.asarray(a), jnp.asarray(b)[:, None], b_top,
+        jnp.asarray(b_surface)[None], jnp.asarray(surf_reflect),
+        jnp.asarray([u0]), 0)
     X = np.asarray(_solve_sh(T, Fm, z_down, z_up, btv, bsv,
-                             jnp.asarray(surf_reflect), 2))
+                             jnp.asarray(surf_reflect), 2)[:, :, 0])
     # the TPU system solves for the per-layer SCALED growing-mode
     # coefficient X2' = X2/exptrm (f32 conditioning); unscale to compare
     # against the reference's unscaled unknowns
@@ -253,10 +255,11 @@ def test_sh4_solution_matches_reference_system():
      u0) = _random_inputs(4, seed=5)
     T, Fm, z_down, z_up, btv, bsv, aux = _sh4_system(
         jnp.asarray(w0), jnp.asarray(dtau), jnp.asarray(tau),
-        jnp.asarray(a), jnp.asarray(b), b_top, jnp.asarray(b_surface),
-        jnp.asarray(b_surface_sh4), jnp.asarray(surf_reflect), u0, 0)
+        jnp.asarray(a), jnp.asarray(b)[:, None], b_top,
+        jnp.asarray(b_surface)[None], jnp.asarray(b_surface_sh4)[None],
+        jnp.asarray(surf_reflect), jnp.asarray([u0]), 0)
     X = np.asarray(_solve_sh(T, Fm, z_down, z_up, btv, bsv,
-                             jnp.asarray(surf_reflect), 4))
+                             jnp.asarray(surf_reflect), 4)[:, :, 0])
     X = X.copy()
     X[:, 1] = X[:, 1] * np.asarray(aux['exptrm1'])
     X[:, 3] = X[:, 3] * np.asarray(aux['exptrm2'])
