@@ -286,10 +286,14 @@ class _ClimateState:
             mmw=vkw.get('mmw', 2.2))
         atmo = vj.Atmosphere(condensates, **{k: v for k, v in vkw.items()
                                              if k in ('fsed', 'mh', 'mmw',
-                                                      'sig')})
+                                                      'sig', 'b', 'eps',
+                                                      'param', 'supsat',
+                                                      'gas_mmr')})
         atmo.gravity = float(self.gravity)
-        atmo.ptk(df=ptk)
-        out = vj.compute(atmo, directory=directory)
+        atmo.ptk(df=ptk, kz_min=vkw.get('kz_min', 1e5),
+                 alpha_pressure=vkw.get('alpha_pressure'))
+        out = vj.compute(atmo, directory=directory,
+                         do_virtual=vkw.get('do_virtual', False))
         return vj.picaso_format(out['opd_per_layer'],
                                 out['single_scattering'],
                                 out['asymmetry']), out

@@ -738,24 +738,98 @@ class inputs:
             self.inputs['clouds']['fhole'] = fhole
             self.inputs['clouds']['fthin_cld'] = fthin_cld
 
-    def virga(self, condensates, directory=None, fsed=1.0, mh=1.0, mmw=2.2,
-              sig=2.0, kz_min=1e5, full_output=False, **kwargs):
+    def virga(self, condensates, directory=None, fsed=1.0, b=1.0, eps=1e-2,
+              param='const', mh=1.0, mmw=2.2, sig=2.0, kz_min=1e5,
+              supsat=0, gas_mmr=None, Teff=None, alpha_pressure=None,
+              do_virtual=False, full_output=False, solver='eddysed',
+              **kwargs):
         """Run cloud microphysics and attach the resulting cloud profile
-        (justdoit.py:4269 semantics, using picaso_tpu.virga — an AM01
-        eddy-sedimentation model; point ``directory`` at virga .mieff
-        files for real Mie optics)."""
+        (justdoit.py:4269-4399 semantics, using picaso_tpu.virga — the
+        full AM01 eddy-sedimentation solver; point ``directory`` at
+        virga .mieff files for real Mie optics).  ``param``/``b``/``eps``
+        select the variable-fsed profile, ``do_virtual`` enables the
+        below-grid virtual cloud, ``solver='analytic'`` picks the fast
+        closed-form balance."""
         from . import virga as vj
-        atmo = vj.Atmosphere(condensates, fsed=fsed, mh=mh, mmw=mmw,
-                             sig=sig, **kwargs)
+        atmo = vj.Atmosphere(condensates, fsed=fsed, b=b, eps=eps,
+                             param=param, mh=mh, mmw=mmw, sig=sig,
+                             supsat=supsat, gas_mmr=gas_mmr, **kwargs)
         atmo.gravity = self.inputs['planet']['gravity']
         prof = self.inputs['atmosphere']['profile']
-        atmo.ptk(df=prof, kz_min=kz_min)
-        out = vj.compute(atmo, directory=directory)
+        atmo.ptk(df=prof, kz_min=kz_min, Teff=Teff,
+                 alpha_pressure=alpha_pressure)
+        out = vj.compute(atmo, directory=directory,
+                         do_virtual=do_virtual, solver=solver)
         df_cld = vj.picaso_format(out['opd_per_layer'],
                                   out['single_scattering'],
-                                  out['asymmetry'])
+                                  out['asymmetry'],
+                                  wavenumber=1e4 / out['wave'])
         self.clouds(df=df_cld)
         return out if full_output else df_cld
+
+    def virga_3d(self, condensates, directory=None, fsed=1.0, mh=1.0,
+                 mmw=2.2, sig=2.0, kz_min=1e5, n_cpu=1, verbose=False,
+                 full_output=False, solver='eddysed', **kwargs):
+        """Per-column cloud microphysics on the 3D GCM grid
+        (justdoit.py:4400-4514).
+
+        Requires :meth:`atmosphere_3d` input with a 'kz' field.  Runs the
+        eddysed solve for every (lon, lat) column and stores the cloud
+        arrays [nlayer, nwno, nlon, nlat] on the GCM grid; facet columns
+        are selected at spectrum time by the same nearest-neighbour
+        regrid as the atmosphere (three_d.regrid_to_disco) — the TPU
+        build's replacement for the reference's joblib fan-out +
+        xarray regrid.
+        """
+        from . import virga as vj
+        prof = self.inputs['atmosphere']['profile']
+        if not (isinstance(prof, dict) and 'lat' in prof):
+            raise ValueError('virga_3d needs atmosphere_3d input '
+                             '(dict with lat/lon grids)')
+        if 'kz' not in prof:
+            raise ValueError("virga_3d needs a 'kz' [cm^2/s] field in "
+                             'the 3D profile')
+        lat = np.asarray(prof['lat'], float)
+        lon = np.asarray(prof['lon'], float)
+        pressure = np.asarray(prof['pressure'], float)
+        nlon, nlat = len(lon), len(lat)
+        nlayer = len(pressure) - 1
+
+        def one_column(ilon, ilat):
+            df = pd.DataFrame({
+                'pressure': pressure,
+                'temperature': np.asarray(prof['temperature'])[:, ilon,
+                                                               ilat],
+                'kz': np.asarray(prof['kz'])[:, ilon, ilat]})
+            atmo = vj.Atmosphere(condensates, fsed=fsed, mh=mh, mmw=mmw,
+                                 sig=sig, **kwargs)
+            atmo.gravity = self.inputs['planet']['gravity']
+            atmo.ptk(df=df, kz_min=kz_min)
+            return vj.compute(atmo, directory=directory, solver=solver)
+
+        results = [one_column(g, t) for g in range(nlon)
+                   for t in range(nlat)]
+        wno_grid = np.sort(1e4 / results[0]['wave'])
+        nwno = len(wno_grid)
+        opd = np.zeros((nlayer, nwno, nlon, nlat))
+        w0 = np.zeros_like(opd)
+        g0 = np.zeros_like(opd)
+        i = 0
+        all_out = {}
+        for g in range(nlon):
+            for t in range(nlat):
+                out = results[i]; i += 1
+                opd[:, :, g, t] = out['opd_per_layer']
+                w0[:, :, g, t] = out['single_scattering']
+                g0[:, :, g, t] = out['asymmetry']
+                if full_output:
+                    all_out[f'lon{g}_lat{t}'] = out
+        self.inputs['clouds']['profile'] = {
+            'opd': opd, 'w0': w0, 'g0': g0, 'lat': lat, 'lon': lon,
+            'pressure': pressure}
+        self.inputs['clouds']['wavenumber'] = wno_grid
+        if full_output:
+            return all_out
 
     # -- disequilibrium chemistry adjustments --------------------------------
     def find_kzz(self):

@@ -66,6 +66,10 @@ def _facet_atmospheres(bundle, wno, geometry):
     if isinstance(prof3d, dict) and 'lat' in prof3d:
         prof3d = regrid_to_disco(prof3d, geometry)
     cld = bundle.inputs['clouds'].get('profile')
+    if isinstance(cld, dict) and 'lat' in cld:
+        # virga_3d output on the GCM grid -> select facet columns
+        # ([nlayer, nwno, nlon, nlat] fields, lon axis 2)
+        cld = regrid_to_disco(cld, geometry, field_lon_axis=2)
     cld_wno = bundle.inputs['clouds'].get('wavenumber')
     ng, nt = geometry.ng, geometry.nt
     planet = bundle.inputs['planet']

