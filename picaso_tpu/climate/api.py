@@ -263,6 +263,11 @@ class _ClimateState:
             x_h2=np.asarray(df.get('H2', pd.Series(np.ones(len(temp))))),
             strict=False)
         chem_params = self.bundle.inputs['approx'].get('chem_params', {})
+        if self.bundle.inputs['climate'].get('pc') is not None:
+            # full kinetics: photochem steady state each iteration,
+            # quench-adjusted initial guess (climate.py:3107-3109)
+            return self.bundle.premix_atmosphere_photochem(
+                quench_levels=qlv)
         self.bundle.adjust_quench_chemistry(qlv)
         if chem_params.get('vol_rainout'):
             self.bundle.volatile_rainout(qlv)
@@ -426,8 +431,14 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
             conv_flag = 1
             break
 
-    # refresh the bundle chemistry at the converged structure
-    state.premix(temp, pressure_bar)
+    # refresh the bundle chemistry at the converged structure — through
+    # the SAME pathway the loop used: a plain equilibrium premix here
+    # would erase the quench/kinetics abundances from the returned
+    # profile (climate.py:3153-3209 re-runs the full chem update)
+    if state.diseq:
+        state.update_diseq_chem(temp, pressure_bar)
+    else:
+        state.premix(temp, pressure_bar)
     dtdp, fnil, fnvl, fpit = result
     return (conv_flag, temp, dtdp, fnil, fnvl, fpit)
 

@@ -640,17 +640,41 @@ class inputs:
         self.nlevel = out.shape[0]
         return out
 
-    def premix_atmosphere_photochem(self, opa, quench_levels=None,
-                                    **kwargs):
-        """Equilibrium chemistry seeded for a photochem kinetics run
-        (justdoit.py:2283): premix from the CK full_abunds table, then
-        hand the profile to the photochem wrapper (gated; see
-        picaso_tpu.photochem)."""
-        from .photochem import _require_photochem
-        _require_photochem()
-        return self.premix_atmosphere(opa=opa,
-                                      quench_levels=quench_levels,
-                                      **kwargs)
+    def premix_atmosphere_photochem(self, opa=None, quench_levels=None,
+                                    verbose=False, **kwargs):
+        """Run the photochemistry model and load its steady-state gas
+        concentrations into the profile (justdoit.py:2283-2323).
+
+        Sequence matches the reference: refresh equilibrium chemistry
+        (when ``opa`` is given), quench-adjust as the kinetics initial
+        guess, then drive ``pc.run_for_picaso`` warm-started from the
+        previous steady state stored in
+        ``inputs['photochemistry']['initial_guess']``.  Requires
+        :meth:`photochem_init` (or any object with the same
+        ``run_for_picaso`` interface assigned to
+        ``inputs['climate']['pc']`` — the test suite uses a mock there).
+        """
+        if opa is not None:
+            self.premix_atmosphere(opa=opa, **kwargs)
+        if quench_levels is not None:
+            self.adjust_quench_chemistry(quench_levels)
+        pc = self.inputs['climate'].get('pc')
+        if pc is None:
+            raise ValueError('initialize kinetics with photochem_init() '
+                             'before premix_atmosphere_photochem()')
+        kz = self.find_kzz()
+        if kz is None:
+            raise ValueError('photochem kinetics needs a kzz profile')
+        store = self.inputs.setdefault('photochemistry',
+                                       {'initial_guess': None})
+        mh = float(self.inputs['atmosphere'].get('mh') or 1.0)
+        cto = float(self.inputs['atmosphere'].get('cto_relative') or 1.0)
+        df = pc.run_for_picaso(self.inputs['atmosphere']['profile'],
+                               np.log10(mh), cto, kz,
+                               df_comp_guess=store.get('initial_guess'))
+        store['initial_guess'] = df.copy()
+        self.inputs['atmosphere']['profile'] = df
+        return df
 
     def photochem_init(self):
         """Initialize the photochem kinetics wrapper from the args stored

@@ -111,6 +111,10 @@ def _load_continuum(continuum_db, wno, dtype=np.float32):
     mols = sorted(set(x[0] for x in cur.fetchall()))
     cur.execute('SELECT temperature FROM continuum')
     temps = np.unique([x[0] for x in cur.fetchall()])
+    # floored at the DB's own 1e-33 convention: exact zeros (H-ff, H2H2
+    # rows of the bundled table) would give log(0) = -inf in the 1/T
+    # log-interp, and 0 * -inf = NaN whenever a layer temperature lands
+    # exactly on a grid node (e.g. a clipped isothermal guess)
     cont = np.zeros((len(mols), len(temps), len(wno)), dtype)
     for im, mol in enumerate(mols):
         cur.execute('SELECT temperature, opacity FROM continuum '
@@ -118,7 +122,7 @@ def _load_continuum(continuum_db, wno, dtype=np.float32):
         for t, op in cur.fetchall():
             cont[im, int(np.searchsorted(temps, t))] = op
     conn.close()
-    return cont, temps, tuple(mols)
+    return np.maximum(cont, np.asarray(1e-33, dtype)), temps, tuple(mols)
 
 
 def load_ck_db(ck_db, method='preweighted', continuum_db=None,

@@ -93,3 +93,52 @@ def sharded_forward(scene, grid, config, mesh):
     # inputs carry NamedShardings; jit propagates them through the program
     del mesh
     return forward(scene, grid, config)
+
+
+def shard_climate(temps, data, ck_arrays, mesh: Mesh):
+    """Place a batched climate problem on the mesh.
+
+    ``temps`` [n_batch, nlevel] shards over 'batch' (independent scenes —
+    a Teff/gravity grid, coupled-map columns); every wavelength-bearing
+    array in :class:`~picaso_tpu.climate.fused.ClimateData` and
+    :class:`~picaso_tpu.opacities.ck.CKArrays` shards over 'wave' (the
+    CK-bin axis).  The per-iteration spectral integrals inside the fused
+    Newton solve then lower to psums over 'wave', and any cross-scene
+    reduction to a psum over 'batch' — the climate analog of the forward
+    pipeline's mesh layout.
+    """
+    batch = NamedSharding(mesh, P('batch', None))
+    rep = NamedSharding(mesh, P())
+    w_last = NamedSharding(mesh, P(None, 'wave'))
+
+    temps = jax.device_put(jnp.asarray(temps), batch)
+
+    def put_wave_last(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*(None,) * (x.ndim - 1), 'wave')))
+
+    data = data._replace(
+        F0PI=put_wave_last(data.F0PI),
+        surf_reflect=put_wave_last(data.surf_reflect),
+        sigma_ray=put_wave_last(data.sigma_ray),
+        cld_opd=put_wave_last(data.cld_opd),
+        cld_g0=put_wave_last(data.cld_g0),
+        cld_w0=put_wave_last(data.cld_w0),
+        **{f: jax.device_put(getattr(data, f), rep)
+           for f in ('plevel', 'gravity', 'tidal', 'rfaci', 'rfacv',
+                     'tmin', 'tmax', 'cond_abunds')})
+    ck_arrays = ck_arrays._replace(
+        wno=put_wave_last(ck_arrays.wno),
+        delta_wno=put_wave_last(ck_arrays.delta_wno),
+        ln_kappa=jax.device_put(
+            ck_arrays.ln_kappa, NamedSharding(mesh, P(None, None, 'wave',
+                                                      None))),
+        cont_opa=jax.device_put(
+            ck_arrays.cont_opa, NamedSharding(mesh, P(None, None, 'wave'))),
+        gauss_wts=jax.device_put(ck_arrays.gauss_wts, rep),
+        p_log_grid=jax.device_put(ck_arrays.p_log_grid, rep),
+        t_inv_grid=jax.device_put(ck_arrays.t_inv_grid, rep),
+        nc_p=jax.device_put(ck_arrays.nc_p, rep),
+        cia_temps=jax.device_put(ck_arrays.cia_temps, rep))
+    del w_last
+    return temps, data, ck_arrays

@@ -55,38 +55,51 @@ class EvoAtmosphereGasGiantPicaso:
             except (FileNotFoundError, EOFError):
                 pass
 
-    def run_for_picaso(self, pressure_bar, temperature, kzz,
-                       initial_guess=None):
-        """Steady-state mixing ratios on the (top-down) climate grid.
+    def run_for_picaso(self, df, log10metallicity, CtoO, Kzz,
+                       df_comp_guess=None, rainout_condensed_atoms=True):
+        """Steady-state kinetics on the climate grid (photochem.py:132-183).
 
-        Flips arrays bottom-up and bar -> dyn/cm^2 for photochem
-        (photochem.py:89-93), warm-starts from the previous steady state,
-        and returns a dict molecule -> top-down vmr profile.
+        ``df`` is the top-down ``inputs['atmosphere']['profile']``
+        dataframe; arrays flip bottom-up and bar -> dyn/cm^2 for
+        photochem.  A previous steady state passed as ``df_comp_guess``
+        warm-starts the solve (reinitialize path); otherwise the run
+        initializes from climate equilibrium at the given metallicity /
+        C-to-O.  Returns the dataframe with steady-state gas
+        concentrations loaded in.
         """
         pc = self._pc
-        press_dyn = np.asarray(pressure_bar)[::-1] * 1e6
-        temp_bu = np.asarray(temperature)[::-1]
-        kzz_bu = np.asarray(kzz)[::-1]
-        guess = initial_guess or self.initial_guess
-        pc.initialize_to_climate_equilibrium_PT(
-            press_dyn, temp_bu, kzz_bu, *([guess] if guess is not None
-                                          else []))
+        press_dyn = df['pressure'].to_numpy()[::-1].copy() * 1e6
+        temp_bu = df['temperature'].to_numpy()[::-1].copy()
+        kzz_bu = np.asarray(Kzz)[::-1].copy()
+        if df_comp_guess is None:
+            pc.initialize_to_climate_equilibrium_PT(
+                press_dyn, temp_bu, kzz_bu, 10.0 ** log10metallicity,
+                CtoO, rainout_condensed_atoms)
+        else:
+            # normalized mixing ratios from the previous solution
+            # (photochem.py:112-130 reinitialize semantics)
+            species = set(getattr(pc.dat, 'species_names', [])
+                          ) or set(df_comp_guess.keys())
+            mix = {k: df_comp_guess[k].to_numpy()[::-1].copy()
+                   for k in df_comp_guess
+                   if k in species and k not in ('pressure', 'temperature',
+                                                 'kz')}
+            tot = sum(mix.values())
+            mix = {k: v / tot for k, v in mix.items()}
+            pc.reinitialize_to_new_climate_PT(press_dyn, temp_bu, kzz_bu,
+                                              mix)
         converged = pc.find_steady_state()
         if not converged:
             raise RuntimeError('photochem failed to find a steady state')
-        sol = pc.return_atmosphere()
-        self.initial_guess = sol
+        sol = pc.return_atmosphere_climate_grid()
         if self.save_file is not None:
-            with open(self.save_file, 'wb') as f:
+            with open(self.save_file, 'ab') as f:
                 pickle.dump(sol, f)
-        out = {}
+        out = df.copy()
         for key, vals in sol.items():
             if key in ('pressure', 'temperature', 'Kzz', 'alt'):
                 continue
-            out[key] = np.interp(
-                np.log(np.asarray(pressure_bar) * 1e6),
-                np.log(sol['pressure'][::-1]),
-                np.asarray(vals)[::-1])
+            out[key] = np.asarray(vals)[::-1]
         return out
 
 

@@ -94,13 +94,14 @@ def test_brown_dwarf_rce_converges(bd_case):
     assert np.isfinite(temp).all()
     # monotonic increasing T with depth below the upper levels
     assert (np.diff(temp[5:]) > -1e-6).all()
-    # energy balance: net flux within a few % of sigma*Teff^4 everywhere in
-    # the radiative zone above the RCB
+    # energy balance: net flux zeroed to 0.1% of sigma*Teff^4 everywhere
+    # in the radiative zone above the RCB (the converged solver actually
+    # reaches ~3e-5 here; 1e-3 leaves margin for platform jitter)
     fb = out['flux_balance']
     sigT4 = core.SIGMA_SB * 1000.0 ** 4
     nstr = out['cvz_locs']
     resid = (fb['flux_net'][:max(nstr[1], 1)]) / sigT4
-    assert np.max(np.abs(resid)) < 0.05, resid
+    assert np.max(np.abs(resid)) < 1e-3, resid
     # the convective zone lapse rate tracks the adiabat
     adiabat = load_adiabat_grid()
     tbar = 0.5 * (temp[1:] + temp[:-1])
