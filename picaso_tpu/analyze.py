@@ -150,6 +150,7 @@ class GridFitter:
             'best_fit_index': int(rank[0]),
             'chi_sq_best': float(chi2[rank[0]]),
             'binned_models': binned, 'wlgrid_center': wl,
+            'y_data': y, 'e_data': e,
             'posterior_weights': self.chi2_posteriors(chi2),
         }
         if self.verbose:
@@ -181,6 +182,108 @@ class GridFitter:
         uniq = np.unique(vals)
         probs = np.array([w[vals == v].sum() for v in uniq])
         return uniq, probs / probs.sum()
+
+    # reference naming (analyze.py:515-546)
+    get_chi_posteriors = parameter_posteriors
+
+    def print_best_fit(self, grid_name, data_name, verbose=True):
+        """Best-fit parameter table (analyze.py:389-406).
+
+        Returns {parameter: best value} at the lowest-chi2 grid member.
+        """
+        res = self.fit_results[grid_name][data_name]
+        i = res['best_fit_index']
+        best_fits = {}
+        for key in self.grid_params.keys():
+            val = self.grid_params.iloc[i][key]
+            if verbose:
+                print(f'{key}={val}')
+            best_fits[key] = val
+        return best_fits
+
+    def plot_best_fit(self, grid_names, data_names, plot_kwargs=None):
+        """Best-fit spectra over the data + a residual panel
+        (analyze.py:408-511, matplotlib instead of the reference's
+        style-sheet block).  Returns (fig, {'A': spectrum axis,
+        'B': residual axis})."""
+        import matplotlib.pyplot as plt
+
+        plot_kwargs = plot_kwargs or {}
+        if isinstance(grid_names, str):
+            grid_names = [grid_names]
+        if isinstance(data_names, str):
+            data_names = [data_names]
+        fig, (ax_a, ax_b) = plt.subplots(
+            2, 1, figsize=plot_kwargs.get('figsize', (10, 7)),
+            sharex=True, gridspec_kw={'height_ratios': [4, 1]})
+        for igrid in grid_names:
+            for idata in data_names:
+                res = self.fit_results[igrid][idata]
+                i = res['best_fit_index']
+                wl = res['wlgrid_center']
+                best = res['binned_models'][i]
+                chi1 = res['chi_sq'][i]
+                line, = ax_a.plot(
+                    wl, best, lw=2,
+                    label=(f'best fit {igrid}+{idata}, '
+                           f'$\\chi^2$={chi1:.2f}'))
+                if 'y_data' in res:
+                    resid = (res['y_data'] - best) / res['e_data']
+                    ax_b.plot(wl, resid, 'o', ms=4,
+                              color=line.get_color())
+        for idata in data_names:
+            for igrid in grid_names:
+                res = self.fit_results[igrid][idata]
+                if 'y_data' in res:
+                    ax_a.errorbar(res['wlgrid_center'], res['y_data'],
+                                  yerr=res['e_data'], fmt='o', ms=4,
+                                  color='k', label=idata)
+                    break
+        ax_b.axhline(0.0, color='k', lw=1)
+        ax_b.set_xlabel(plot_kwargs.get('xlabel',
+                                        r'wavelength [$\mu$m]'))
+        ax_a.set_ylabel(plot_kwargs.get('ylabel', 'spectrum'))
+        ax_b.set_ylabel(r'$\delta/N$')
+        ax_a.legend(fontsize=9)
+        return fig, {'A': ax_a, 'B': ax_b}
+
+    def plot_chi_posteriors(self, grid_names, data_name, max_row=None,
+                            max_col=3, input_parameters='all'):
+        """Marginal chi2 posteriors for each grid parameter
+        (analyze.py:548-612).  Returns (fig, {parameter: (values,
+        probabilities)})."""
+        import matplotlib.pyplot as plt
+
+        if isinstance(grid_names, str):
+            grid_names = [grid_names]
+        if input_parameters == 'all':
+            params = [k for k in self.grid_params.keys()
+                      if np.issubdtype(np.asarray(
+                          self.grid_params[k]).dtype, np.number)]
+        else:
+            params = list(input_parameters)
+        n = len(params)
+        ncol = min(max_col, max(n, 1))
+        nrow = max_row or int(np.ceil(n / ncol))
+        fig, axes = plt.subplots(nrow, ncol,
+                                 figsize=(3.2 * ncol, 2.6 * nrow),
+                                 squeeze=False)
+        out = {}
+        for k, par in enumerate(params):
+            ax = axes[k // ncol][k % ncol]
+            for igrid in grid_names:
+                vals, prob = self.parameter_posteriors(igrid, data_name,
+                                                       par)
+                ax.plot(vals, prob, 'o-', label=igrid)
+                out[par] = (vals, prob)
+            ax.set_xlabel(par)
+            ax.set_ylabel('probability')
+        for k in range(n, nrow * ncol):
+            axes[k // ncol][k % ncol].axis('off')
+        if len(grid_names) > 1:
+            axes[0][0].legend(fontsize=8)
+        fig.tight_layout()
+        return fig, out
 
     def prep_gridtrieval(self, parameters):
         """Index a full-factorial model grid for multilinear interpolation.

@@ -312,6 +312,94 @@ def log_likelihood(theta, config, opa, fitpars, data_wno, y, e):
     return -0.5 * np.sum((y - model) ** 2 / e ** 2)
 
 
+def setup_climate_class(config, opa=None):
+    """Build (case, opa) for a TOML climate run.
+
+    The reference driver leaves calc_type='climate' unimplemented
+    (driver.py:67-69); this schema drives the full RCE solver from TOML:
+
+    .. code-block:: toml
+
+        calc_type = 'climate'
+        [OpticalProperties]
+        ck_db = '/path/to/premixed.hdf5'    # or 'legacy_dir/ascii_data'
+        opacity_method = 'preweighted'       # or 'resortrebin'
+        [object]
+        gravity = {value = 100.0, unit = 'm/(s**2)'}
+        [climate]
+        teff = 700.0
+        nlevel = 91
+        logp_top = -4.0      # log10 bar
+        logp_bottom = 2.5
+        rcb_guess = 71       # initial radiative-convective boundary index
+        rfacv = 0.0          # stellar-flux weight (0 = isolated object)
+        temp_guess = [..]    # optional explicit T(P) guess [nlevel]
+        diseq_chem = false   # -> run_kwargs passthrough
+        [climate.run_kwargs]
+        diseq_chem = false
+    """
+    cl = config.get('climate', {})
+    if opa is None:
+        op = config.get('OpticalProperties', {})
+        opa = jdi.opannection(
+            ck_db=op.get('ck_db'),
+            method=op.get('opacity_method', 'preweighted'),
+            wave_range=op.get('wave_range'),
+            **op.get('opacity_kwargs', {}))
+
+    case = jdi.inputs(calculation=config.get('object_type', 'browndwarf'),
+                      climate=True)
+    case.phase_angle(float(_value(config.get('geometry',
+                                             {}).get('phase', 0.0))))
+    obj = config.get('object', {})
+    if 'radius' in obj and 'mass' in obj:
+        case.gravity(radius=obj['radius']['value'],
+                     radius_unit=u.Unit(obj['radius']['unit']),
+                     mass=obj['mass']['value'],
+                     mass_unit=u.Unit(obj['mass']['unit']))
+    elif 'gravity' in obj:
+        case.gravity(gravity=obj['gravity']['value'],
+                     gravity_unit=u.Unit(obj['gravity']['unit']))
+    else:
+        raise ValueError('[object] needs gravity or radius+mass')
+    case.effective_temp(float(_value(cl.get('teff', 1000.0))))
+
+    if config.get('irradiated', False) and 'star' in config:
+        star = config['star']
+        g = star.get('grid', {})
+        kw = {}
+        if 'semi_major' in star:
+            kw.update(semi_major=star['semi_major']['value'],
+                      semi_major_unit=u.Unit(star['semi_major']['unit']))
+        case.star(opa, g.get('teff', 5700), g.get('feh', 0.0),
+                  g.get('logg', 4.5), **kw)
+    else:
+        case.setup_nostar()
+    case.setup_climate()
+
+    nlevel = int(cl.get('nlevel', 91))
+    pressure = np.logspace(float(cl.get('logp_top', -4.0)),
+                           float(cl.get('logp_bottom', 2.5)), nlevel)
+    teff = float(_value(cl.get('teff', 1000.0)))
+    if 'temp_guess' in cl:
+        guess = np.asarray(cl['temp_guess'], float)
+        if len(guess) != nlevel:
+            raise ValueError('temp_guess length must equal nlevel')
+    else:
+        guess = np.clip(teff * 1.2 * (pressure / 30.0) ** 0.1,
+                        max(0.25 * teff, 100.0), None)
+    case.inputs_climate(
+        temp_guess=guess, pressure=pressure,
+        rcb_guess=int(cl.get('rcb_guess', nlevel - 20)),
+        rfacv=float(cl.get('rfacv', 0.0)),
+        rfaci=float(cl.get('rfaci', 1.0)),
+        moistgrad=bool(cl.get('moistgrad', False)))
+    if cl.get('virga'):
+        case.inputs['climate']['cloudy'] = True
+        case.inputs['climate']['virga_kwargs'] = dict(cl['virga'])
+    return case, opa
+
+
 def run(toml_input, data=None, sampler='nested', nlive=100, nsteps=300,
         verbose=True, **sampler_kwargs):
     """Top-level driver (driver.py:28-71).
@@ -330,7 +418,11 @@ def run(toml_input, data=None, sampler='nested', nlive=100, nsteps=300,
         return case, out
 
     if calc_type == 'climate':
-        raise NotImplementedError('TOML climate runs: use inputs.climate')
+        case, opa = setup_climate_class(config)
+        out = case.climate(opa, verbose=verbose,
+                           **config.get('climate', {}).get('run_kwargs',
+                                                           {}))
+        return case, out
 
     # retrieval
     if data is None:

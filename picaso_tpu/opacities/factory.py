@@ -344,10 +344,18 @@ def compute_ck_molecular(mono_db, molecule, bin_edges, order=4, gfrac=0.95):
 def compute_sum_molecular(mono_db, abundances, bin_edges, order=4,
                           gfrac=0.95):
     """Premixed CK table: abundance-weighted sum of cross sections,
-    k-distributed per bin (opacity_factory.py:1530 analog).
+    k-distributed per bin (opacity_factory.py:1530-1747
+    ``compute_sum_molecular``).
 
-    abundances: dict molecule -> vmr (scalar, applied at every grid point).
+    ``abundances`` is either a dict molecule -> vmr (scalar, applied at
+    every grid point) or a chemistry-grid DataFrame with 'pressure' /
+    'temperature' columns plus one column per molecule (e.g. the output
+    of :func:`picaso_tpu.io_utils.read_visscher_2121`), in which case
+    each (P, T) point mixes with the nearest chemistry row — the
+    reference pathway (its chem_grid rows ride the 1460 grid).
     """
+    import pandas as pd
+
     from .db import connect
     from .ck import double_gauss_points
 
@@ -359,14 +367,33 @@ def compute_sum_molecular(mono_db, abundances, bin_edges, order=4,
     pt = cur.fetchall()
     temps = np.unique([t for _, t in pt])
     pressures = np.unique([p for p, _ in pt])
+
+    per_pt = isinstance(abundances, pd.DataFrame)
+    if per_pt:
+        chem_logp = np.log10(np.maximum(
+            np.asarray(abundances['pressure'], float), 1e-12))
+        chem_tinv = 1.0 / np.asarray(abundances['temperature'], float)
+        molecules = [c for c in abundances.keys()
+                     if c not in ('pressure', 'temperature', 'index')]
+
+        def vmr_at(mol, p, t):
+            d = ((chem_logp - np.log10(max(p, 1e-12))) ** 2
+                 + (chem_tinv * t - 1.0) ** 2)
+            return float(abundances[mol].iloc[int(np.argmin(d))])
+    else:
+        molecules = list(abundances)
+
+        def vmr_at(mol, p, t):
+            return abundances[mol]
+
     mixed = np.zeros((len(pressures), len(temps), len(wno)))
-    for mol, vmr in abundances.items():
+    for mol in molecules:
         cur.execute('SELECT pressure, temperature, opacity FROM molecular '
                     'WHERE molecule = ?', (mol,))
         for p, t, op in cur.fetchall():
             ip = int(np.searchsorted(pressures, p))
             it = int(np.searchsorted(temps, t))
-            mixed[ip, it] += vmr * np.asarray(op)
+            mixed[ip, it] += vmr_at(mol, p, t) * np.asarray(op)
     conn.close()
     kco = compute_k_distribution(mixed, wno, bin_edges, gauss_pts)
     centers = 0.5 * (np.asarray(bin_edges[1:]) + np.asarray(bin_edges[:-1]))
@@ -378,15 +405,27 @@ def compute_sum_molecular(mono_db, abundances, bin_edges, order=4,
 
 def write_ck_hdf5(filename, ck, molecules, abunds):
     """Write a premixed CK table in the reference hdf5 format
-    (get_ck_tables layout, opacity_factory.py:2221-2268)."""
+    (get_ck_tables layout, opacity_factory.py:2221-2268).
+
+    ``abunds``: dict molecule -> scalar vmr, or a chemistry DataFrame
+    with per-(T, P) rows in T-major order matching the table grid.
+    """
     import h5py
+    import pandas as pd
 
     temps, pressures = ck['temps'], ck['pressures']
     npress, ntemp = len(pressures), len(temps)
     temps_flat = np.repeat(temps, npress)
     press_flat = np.tile(pressures, ntemp)
-    abunds_arr = np.column_stack([np.zeros(ntemp * npress) + abunds[m]
-                                  for m in molecules])
+    if isinstance(abunds, pd.DataFrame):
+        if len(abunds) != ntemp * npress:
+            raise ValueError(f'chemistry table has {len(abunds)} rows; '
+                             f'the CK grid needs {ntemp * npress}')
+        abunds_arr = np.column_stack([np.asarray(abunds[m], float)
+                                      for m in molecules])
+    else:
+        abunds_arr = np.column_stack([np.zeros(ntemp * npress) + abunds[m]
+                                      for m in molecules])
     with h5py.File(filename, 'w') as f:
         f.create_dataset('ck_molecules',
                          data=[m.encode() for m in molecules])

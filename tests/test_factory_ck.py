@@ -53,6 +53,44 @@ def test_ck_generation_roundtrip(mono_db, tmp_path):
         assert f['abunds'].shape == (48, 4)
 
 
+def test_ck_premixed_sum_with_chemistry_grid(mono_db, tmp_path):
+    """Premixed-sum builder with a per-(P, T) chemistry table — the
+    reference compute_sum_molecular pathway (opacity_factory.py:1530)."""
+    import pandas as pd
+
+    path, wno = mono_db
+    edges = np.linspace(300.0, 10300.0, 21)
+    flat = {'H2O': 1e-3, 'CH4': 5e-4}
+    ck_flat = factory.compute_sum_molecular(path, flat, edges)
+
+    # a chemistry grid matching the DB's (T-major) PT points, with
+    # CONSTANT abundances must reproduce the scalar-dict result exactly
+    temps, press = ck_flat['temps'], ck_flat['pressures']
+    rows = [{'temperature': t, 'pressure': p, **flat}
+            for t in temps for p in press]
+    chem = pd.DataFrame(rows)
+    ck_grid = factory.compute_sum_molecular(path, chem, edges)
+    np.testing.assert_allclose(ck_grid['kcoeffs'], ck_flat['kcoeffs'])
+
+    # T-dependent abundances must change the mixture where they differ
+    chem2 = chem.copy()
+    chem2.loc[chem2['temperature'] > temps[len(temps) // 2], 'H2O'] = 1e-8
+    ck_var = factory.compute_sum_molecular(path, chem2, edges)
+    assert not np.allclose(ck_var['kcoeffs'], ck_flat['kcoeffs'])
+    # ...and only at the modified temperatures
+    cold = temps <= temps[len(temps) // 2]
+    np.testing.assert_allclose(ck_var['kcoeffs'][:, cold],
+                               ck_flat['kcoeffs'][:, cold])
+
+    # the per-PT chemistry rides into the written table
+    fn = str(tmp_path / 'premixed_grid.hdf5')
+    factory.write_ck_hdf5(fn, ck_var, list(flat), chem2)
+    import h5py
+    with h5py.File(fn, 'r') as f:
+        assert f['abunds'].shape == (len(temps) * len(press), 2)
+        assert np.asarray(f['abunds'][:, 0]).min() == 1e-8
+
+
 def test_ck_thermal_matches_binned_monochromatic(mono_db):
     """Thermal spectrum through generated CK tables ~ binned mono spectrum.
 

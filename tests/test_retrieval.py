@@ -178,6 +178,45 @@ def test_grid_fitter_identifies_truth():
     assert interp.shape == (200,)
 
 
+def test_grid_fitter_best_fit_reporting():
+    """print_best_fit / plot_best_fit / plot_chi_posteriors
+    (analyze.py:389-612 long tail)."""
+    import matplotlib
+    matplotlib.use('Agg')
+
+    wno = np.linspace(1000, 10000, 120)
+    temps = np.repeat([500.0, 800.0], 2)
+    gravs = np.tile([100.0, 300.0], 2)
+    spectra = np.array([t * (1 + 0.2 * np.sin(wno / 1200 + g / 100))
+                        for t, g in zip(temps, gravs)])
+    fitter = GridFitter('toy', models={'wavenumber': wno,
+                                       'spectra': spectra},
+                        grid_parameters=pd.DataFrame({'teff': temps,
+                                                      'grav': gravs}),
+                        verbose=False)
+    wl = 1e4 / np.linspace(1500, 9500, 30)
+    y = np.interp(1e4 / wl, wno, spectra[1])
+    fitter.fit_grid('toy', 'obs', wl, y, y * 0 + 5.0)
+
+    best = fitter.print_best_fit('toy', 'obs', verbose=False)
+    assert best == {'teff': 500.0, 'grav': 300.0}
+
+    fig, ax = fitter.plot_best_fit('toy', 'obs')
+    assert 'A' in ax and 'B' in ax
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+    fig2, post = fitter.plot_chi_posteriors('toy', 'obs')
+    assert set(post) == {'teff', 'grav'}
+    vals, probs = post['teff']
+    assert vals[np.argmax(probs)] == 500.0
+    np.testing.assert_allclose(probs.sum(), 1.0)
+    plt.close(fig2)
+    # get_chi_posteriors is the reference-named alias
+    v2, p2 = fitter.get_chi_posteriors('toy', 'obs', 'grav')
+    assert v2[np.argmax(p2)] == 300.0
+
+
 # ---------------------------------------------------------------------------
 # TOML driver end-to-end
 # ---------------------------------------------------------------------------
@@ -200,6 +239,51 @@ def test_driver_spectrum_mode(toml_config):
                   observation_type='transmission')
     case, out = driver.run(config)
     assert np.isfinite(out['transit_depth']).all()
+
+
+def test_driver_climate_mode(tmp_path):
+    """TOML-driven RCE climate (calc_type='climate') — the reference's
+    driver leaves this NYI (driver.py:67-69); here it runs end-to-end."""
+    import h5py
+    from picaso_tpu.opacities.ck import synthetic_ck_table
+
+    # write a premixed CK table in the reference hdf5 format on the
+    # 196-pt grid (so the bundled continuum DB matches)
+    tbl = synthetic_ck_table()
+    arr = tbl.arrays
+    npress, ntemp = len(tbl.pressures), len(tbl.temps)
+    fn = str(tmp_path / 'premixed_196.hdf5')
+    with h5py.File(fn, 'w') as f:
+        f.create_dataset('ck_molecules',
+                         data=[m.encode() for m in tbl.molecules])
+        f.create_dataset('wno', data=tbl.wno)
+        f.create_dataset('delta_wno', data=tbl.delta_wno)
+        f.create_dataset('pressures',
+                         data=np.tile(tbl.pressures, ntemp))
+        f.create_dataset('temperatures',
+                         data=np.repeat(tbl.temps, npress))
+        f.create_dataset('gauss_pts', data=tbl.gauss_pts)
+        f.create_dataset('gauss_wts', data=tbl.gauss_wts)
+        f.create_dataset('kcoeffs', data=np.asarray(arr.ln_kappa))
+        ab = tbl.full_abunds
+        mols = [c for c in ab.keys()
+                if c not in ('pressure', 'temperature')]
+        f.create_dataset('abunds',
+                         data=np.column_stack([ab[m] for m in mols]))
+        f.create_dataset('abunds_map', data=[m.encode() for m in mols])
+
+    config = {
+        'calc_type': 'climate',
+        'OpticalProperties': {'ck_db': fn,
+                              'opacity_method': 'preweighted'},
+        'object': {'gravity': {'value': 100.0, 'unit': 'm/(s**2)'}},
+        'climate': {'teff': 700.0, 'nlevel': 31, 'logp_top': -4.0,
+                    'logp_bottom': 2.5, 'rcb_guess': 28, 'rfacv': 0.0},
+    }
+    case, out = driver.run(config, verbose=False)
+    assert np.isfinite(out['temperature']).all()
+    assert out['converged'] == 1
+    assert (np.diff(out['temperature'][5:]) > -1e-6).all()
 
 
 def test_driver_retrieval_recovers_temperature(toml_config):
