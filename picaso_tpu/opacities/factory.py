@@ -440,3 +440,67 @@ def write_ck_hdf5(filename, ck, molecules, abunds):
         f.create_dataset('abunds_map',
                          data=[m.encode() for m in molecules])
     return filename
+
+
+def slice_db(src_db, dst_db, wave_range, molecules=None):
+    """Write a narrow-wavelength slice of a reference-schema opacity DB.
+
+    The production monochromatic databases are ~7 GB; a 0.5-0.7 um slice
+    is tens of MB and drives the same golden-regression pipeline
+    (tests/test_goldens.py runs against a slice exactly as against the
+    full DB, asserting over the covered window).  ``wave_range`` is
+    [min, max] in micron; ``molecules`` optionally restricts the species
+    kept.  Continuum rows are sliced on the same window.
+    """
+    import sqlite3
+
+    from .db import connect, _adapt_array
+
+    cur, conn = connect(src_db)
+    cur.execute('SELECT wavenumber_grid FROM header')
+    wno = np.asarray(cur.fetchone()[0], float)
+    cur.execute('SELECT pressure_unit, temperature_unit, continuum_unit, '
+                'molecular_unit FROM header')
+    units = cur.fetchone()
+    wave = 1e4 / wno
+    keep = (wave > min(wave_range)) & (wave < max(wave_range))
+    if not keep.any():
+        raise ValueError(f'no wavenumber points inside {wave_range} um')
+    idx = np.where(keep)[0]
+
+    sqlite3.register_adapter(np.ndarray, _adapt_array)
+    out = sqlite3.connect(dst_db, detect_types=sqlite3.PARSE_DECLTYPES)
+    oc = out.cursor()
+    oc.execute('CREATE TABLE header (id INTEGER PRIMARY KEY, '
+               'pressure_unit VARCHAR, temperature_unit VARCHAR, '
+               'wavenumber_grid array, continuum_unit VARCHAR, '
+               'molecular_unit VARCHAR)')
+    oc.execute('INSERT INTO header (pressure_unit, temperature_unit, '
+               'wavenumber_grid, continuum_unit, molecular_unit) '
+               'VALUES (?,?,?,?,?)',
+               (units[0], units[1], wno[idx], units[2], units[3]))
+    oc.execute('CREATE TABLE molecular (id INTEGER PRIMARY KEY, '
+               'molecule VARCHAR, ptid INTEGER, pressure FLOAT, '
+               'temperature FLOAT, opacity array)')
+    oc.execute('CREATE TABLE continuum (id INTEGER PRIMARY KEY, '
+               'molecule VARCHAR, temperature FLOAT, opacity array)')
+
+    if molecules is None:
+        cur.execute('SELECT DISTINCT molecule FROM molecular')
+        molecules = [x[0] for x in cur.fetchall()]
+    for mol in molecules:
+        cur.execute('SELECT ptid, pressure, temperature, opacity '
+                    'FROM molecular WHERE molecule = ?', (mol,))
+        rows = [(mol, ptid, p, t, np.asarray(op, float)[idx])
+                for ptid, p, t, op in cur.fetchall()]
+        oc.executemany('INSERT INTO molecular (molecule, ptid, pressure, '
+                       'temperature, opacity) VALUES (?,?,?,?,?)', rows)
+    cur.execute('SELECT molecule, temperature, opacity FROM continuum')
+    crows = [(mol, t, np.asarray(op, float)[idx])
+             for mol, t, op in cur.fetchall()]
+    oc.executemany('INSERT INTO continuum (molecule, temperature, opacity)'
+                   ' VALUES (?,?,?)', crows)
+    out.commit()
+    out.close()
+    conn.close()
+    return dst_db

@@ -4,10 +4,19 @@ Mirror of the reference's primary regression test
 (tests/test_notebooks.py:55-143): the full Jupiter reflected-light
 pipeline asserted at atol=0.01 against
 refdata/base_cases/testing/reflected_1d_basecase.csv (regridded to
-R=150).  Like the reference test, it needs the production R=15k
-monochromatic opacity database (a ~7 GB download) — skipped when no
-``opacities.db`` is installed, exactly as the reference's suite cannot
-run without the download.
+R=150).  Like the reference test, it needs real monochromatic opacity
+data: either the production R=15k database (a ~7 GB download via
+``picaso_tpu.data.get_data('resampled_opacity')``) or a narrow slice of
+it built with ``scripts/make_db_slice.py`` (tens of MB) — with a slice,
+the assertions cover the sliced window only.  Point the test at a
+non-default location with ``PICASO_TPU_GOLDEN_DB``.  Skipped when
+neither is installed (this sandbox has no network egress, so the data
+cannot be fetched here).
+
+``test_slice_db_preserves_spectra`` proves the slicing tool itself on a
+synthetic DB: a sliced database reproduces the full-database spectrum
+exactly over its window, so a production slice is a faithful golden
+carrier.
 """
 
 import os
@@ -21,6 +30,9 @@ from picaso_tpu.refdata import external_refdata, refdata_path
 
 
 def _production_db():
+    env = os.environ.get('PICASO_TPU_GOLDEN_DB')
+    if env and os.path.exists(env):
+        return env
     ext = external_refdata()
     if ext is None:
         return None
@@ -30,33 +42,45 @@ def _production_db():
 
 requires_db = pytest.mark.skipif(
     _production_db() is None,
-    reason='production opacity DB not installed (set picaso_refdata and '
-           'run picaso_tpu.data.get_data("resampled_opacity"))')
+    reason='production opacity DB (or a scripts/make_db_slice.py slice) '
+           'not installed — set picaso_refdata or PICASO_TPU_GOLDEN_DB')
 
 
 @requires_db
 def test_reflected_1d_golden():
     opacity = jdi.opannection(wave_range=[0.3, 1],
                               filename_db=_production_db())
+    # with a slice DB only part of [0.3, 1] um is covered; assert there
+    wave_um = 1e4 / np.asarray(opacity.wno)
+    wmin, wmax = wave_um.min(), wave_um.max()
+    golden = pd.read_csv(refdata_path('base_cases', 'testing',
+                                      'reflected_1d_basecase.csv'))
+    gw = 1e4 / np.asarray(golden['wavenumber'])
+    in_win = (gw > wmin * 1.02) & (gw < wmax * 0.98)
+    assert in_win.sum() > 5, 'DB window too narrow for the R=150 golden'
+
+    def check(col, series):
+        wno_b, val_b = jdi.mean_regrid(series[0], series[1], R=150)
+        # align binned output to the golden's wavenumber rows
+        interp = np.interp(np.asarray(golden['wavenumber'])[in_win],
+                           wno_b, val_b)
+        assert np.allclose(np.asarray(golden[col])[in_win], interp,
+                           atol=0.01, equal_nan=True)
+
     case = jdi.inputs()
     case.phase_angle(0)
     case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
     case.star(opacity, 5000, 0, 4.0)
     case.atmosphere(filename=jdi.jupiter_pt(), sep=r'\s+')
     df = case.spectrum(opacity)
-    wno, alb = jdi.mean_regrid(df['wavenumber'], df['albedo'], R=150)
-
-    golden = pd.read_csv(refdata_path('base_cases', 'testing',
-                                      'reflected_1d_basecase.csv'))
-    assert np.allclose(golden['albedo'], alb, atol=0.01)
+    check('albedo', (df['wavenumber'], df['albedo']))
 
     case.star(opacity, 5000, 0, 4.0, semi_major=1,
               semi_major_unit=jdi.u.Unit('au'))
     case.gravity(radius=1, radius_unit=jdi.u.Unit('R_jup'),
                  mass=1, mass_unit=jdi.u.Unit('M_jup'))
     df = case.spectrum(opacity)
-    _, fpfs = jdi.mean_regrid(df['wavenumber'], df['fpfs_reflected'], R=150)
-    assert np.allclose(golden['fpfs'], fpfs, atol=0.01)
+    check('fpfs', (df['wavenumber'], df['fpfs_reflected']))
 
     n = 60
     case.atmosphere(df=pd.DataFrame({
@@ -65,23 +89,52 @@ def test_reflected_1d_golden():
         'H2': np.zeros(n) + 0.837, 'He': np.zeros(n) + 0.163,
         'CH4': np.zeros(n) + 0.000466}))
     df = case.spectrum(opacity)
-    _, alb_ch4 = jdi.mean_regrid(df['wavenumber'], df['albedo'], R=150)
-    assert np.allclose(golden['albedo_ch4'], alb_ch4, atol=0.01)
+    check('albedo_ch4', (df['wavenumber'], df['albedo']))
 
     case.atmosphere(filename=jdi.jupiter_pt(), exclude_mol='H2O',
                     sep=r'\s+')
     df = case.spectrum(opacity)
-    _, alb_now = jdi.mean_regrid(df['wavenumber'], df['albedo'], R=150)
-    assert np.allclose(golden['albedo_nowater'], alb_now, atol=0.01,
-                       equal_nan=True)
+    check('albedo_nowater', (df['wavenumber'], df['albedo']))
 
 
 def test_golden_file_bundled():
     """The golden CSV itself ships with the package (so the test above is
-    ready the moment a DB is installed)."""
+    ready the moment a DB or slice is installed)."""
     golden = pd.read_csv(refdata_path('base_cases', 'testing',
                                       'reflected_1d_basecase.csv'))
     for col in ('wavenumber', 'albedo', 'fpfs', 'albedo_ch4',
                 'albedo_nowater'):
         assert col in golden.columns
     assert len(golden) > 50
+
+
+def test_slice_db_preserves_spectra(tmp_path):
+    """A slice DB reproduces the full-DB spectrum over its window."""
+    from picaso_tpu.opacities import factory
+
+    full = str(tmp_path / 'full.db')
+    wno = np.linspace(1000.0, 20000.0, 1500)
+    factory.build_synthetic_db(full, wno, ntemp=6, npress=5)
+    slc = str(tmp_path / 'slice.db')
+    factory.slice_db(full, slc, [0.9, 2.2])
+
+    def spectrum(db, wave_range):
+        opa = jdi.opannection(filename_db=db, wave_range=wave_range,
+                              verbose=False)
+        case = jdi.inputs()
+        case.phase_angle(0)
+        case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
+        case.setup_nostar()
+        nl = 30
+        case.atmosphere(df=pd.DataFrame({
+            'pressure': np.logspace(-6, 2, nl),
+            'temperature': np.zeros(nl) + 900.0,
+            'H2': np.zeros(nl) + 0.84, 'He': np.zeros(nl) + 0.155,
+            'H2O': np.zeros(nl) + 1e-3, 'CH4': np.zeros(nl) + 5e-4}))
+        out = case.spectrum(opa, calculation='thermal')
+        return np.asarray(out['wavenumber']), np.asarray(out['thermal'])
+
+    w_full, t_full = spectrum(full, [1.0, 2.0])
+    w_slice, t_slice = spectrum(slc, [1.0, 2.0])
+    np.testing.assert_allclose(w_slice, w_full)
+    np.testing.assert_allclose(t_slice, t_full, rtol=1e-6)
