@@ -138,25 +138,33 @@ def measure(nwno, n_iter, dtype=np.float32, production=True,
 HBM_PEAK_GBPS = 819.0   # TPU v5e HBM2 peak per chip
 
 
-def _roofline(rate, grid, nlayer):
+def _roofline(rate, grid, nlayer, fused=True):
     """Achieved-HBM-bandwidth accounting for the fused forward.
 
     Analytic byte count (XLA cost analysis would need a second remote
     compile, and the relay's /remote_compile endpoint is unreliable):
     the opacity gather reads [nmol, block] rows for 4 (1/T, logP)
-    neighbors per layer, and the RT stages write + read the 13-field
-    RTProps set.  The gather stage alone is memory-bound and was
-    measured at ~470 GB/s (~95% of what its access pattern can achieve;
-    docs/architecture.md "Memory layout"); the remaining wall-clock is
-    VPU-bound transcendental work in the RT megakernels, which is why
-    the whole-program fraction of HBM peak sits well below 1 — the
-    kernel set is compute-limited, not bandwidth-limited, past the
+    neighbors per layer; with the fused-optics megakernels
+    (pipeline.SpectrumConfig.fuse_optics) the RT stages then re-read
+    only the 6 per-source fields (the 13-field RTProps set never exists
+    in HBM), otherwise they write + read the full property set.  The
+    gather stage alone is memory-bound and was measured at ~470 GB/s
+    (~95% of what its access pattern can achieve; docs/architecture.md
+    "Memory layout"); the remaining wall-clock is VPU-bound
+    transcendental work in the RT megakernels, which is why the
+    whole-program fraction of HBM peak sits well below 1 — the kernel
+    set is compute-limited, not bandwidth-limited, past the
     blocked-gather optimization.
     """
     nmol = len(grid.molecules)
     nwno = int(np.asarray(grid.wno).shape[0])
     gather_bytes = 4 * nlayer * nmol * nwno * 4        # neighbor rows
-    props_bytes = 13 * nlayer * nwno * 4 * 2           # write + read
+    if fused:
+        # reflected reads 6 source fields, thermal 5 + the level
+        # blackbody; one taugas write+read between gather and RT
+        props_bytes = (6 + 5 + 1) * nlayer * nwno * 4 + 2 * nlayer * nwno * 4
+    else:
+        props_bytes = 13 * nlayer * nwno * 4 * 2       # write + read
     total = gather_bytes + props_bytes
     gbps = total * rate / 1e9
     return {'hbm_gbytes_per_spectrum': round(total / 1e9, 3),
@@ -314,14 +322,24 @@ def main():
 
     import jax
     extra = {}
-    try:
-        rate, transit_rate, roofline = measure_spectra_and_transit(
-            NWNO, N_ITER)
-        extra['transit_spectra_per_s'] = round(transit_rate, 2)
-        extra.update(roofline)
-    except Exception as e:
+    # the axon relay's compile endpoint intermittently returns
+    # RESOURCE_EXHAUSTED for perfectly-sized programs (multi-tenant
+    # contention; the same program compiles fine minutes later) — retry
+    # the headline measurement a few times before giving up
+    rate = None
+    for attempt in range(3):
+        try:
+            rate, transit_rate, roofline = measure_spectra_and_transit(
+                NWNO, N_ITER)
+            extra['transit_spectra_per_s'] = round(transit_rate, 2)
+            extra.update(roofline)
+            break
+        except Exception as e:
+            extra['transit_error'] = f'{type(e).__name__}: {e}'[:200]
+            jax.clear_caches()
+            time.sleep(45)
+    if rate is None:
         rate = measure(NWNO, N_ITER)
-        extra['transit_error'] = f'{type(e).__name__}: {e}'[:200]
     # release the ~7 GB of device tables before the subprocess configs
     # (they share the one chip)
     gc.collect()

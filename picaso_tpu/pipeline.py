@@ -102,6 +102,10 @@ class SpectrumConfig:
     # ~4.5x on TPU by eliminating scan-boundary HBM traffic.  Off by
     # default so CPU tests and non-TPU backends take the scan path.
     use_pallas: bool = False
+    # Build the 13-field optical-property set inside the RT megakernels
+    # (skips the RTProps HBM round trip); False falls back to
+    # combine_optics + the property-input megakernels for A/B timing.
+    fuse_optics: bool = True
 
     def mix_row(self, name):
         return dict(self.mix_index)[name]
@@ -189,6 +193,43 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
     tauray = assemble.rayleigh_tau(scene.sigma_ray, scene.mix_ray,
                                    scene.colden, scene.mmw_layer)
     rf = _raman_factor(config, scene, grid.wno, nwno)
+
+    if (config.use_pallas and config.fuse_optics and config.rt_method == 0
+            and config.test_mode is None):
+        # fused-optics fast path: the RT megakernels build the 13-field
+        # property set per wavelength block in VMEM, so RTProps is never
+        # materialized in HBM between the optics and RT stages
+        from .rt.pallas_toon import (reflected_pallas_fused,
+                                     thermal_pallas_fused)
+        tg = taugas.astype(dtype)
+        tr = tauray.astype(dtype)
+        out = {}
+        if config.reflected:
+            xint = reflected_pallas_fused(
+                tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,
+                scene.surf_reflect, scene.ubar0, scene.ubar1,
+                scene.cos_theta, scene.F0PI, controls=config.controls,
+                stream=config.stream,
+                delta_eddington=config.delta_eddington)
+            out['albedo'] = disco_mod.compress_disco(
+                xint, scene.gweight, scene.tweight, scene.cos_theta,
+                scene.F0PI)
+        if config.thermal:
+            all_b = toon.blackbody(scene.tlevel,
+                                   1.0 / grid.wno).astype(dtype)
+            ptfac = scene.plevel[0] / (scene.plevel[1] - scene.plevel[0])
+            flux_top = thermal_pallas_fused(
+                all_b, tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0,
+                ptfac, scene.surf_reflect, scene.ubar1,
+                hard_surface=config.hard_surface)
+            out['thermal'] = disco_mod.compress_thermal(
+                flux_top, scene.gweight, scene.tweight)
+        if config.transmission:
+            out['transit_depth'] = transit_depth(
+                scene.z, scene.dz, scene.rstar, scene.mmw_layer,
+                scene.plevel, scene.tlevel, scene.colden,
+                tg + tr + scene.cld_opd)
+        return out
 
     props = combine_optics(taugas.astype(dtype), tauray.astype(dtype),
                            scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .toon import (ScatteringControls, _exp_clip, _dither_u0,
                    _resonant_ratio)
 
-__all__ = ['reflected_pallas', 'thermal_pallas']
+__all__ = ['reflected_pallas', 'thermal_pallas', 'reflected_pallas_fused',
+           'thermal_pallas_fused']
 
 def _solve_two_stream_scratch(nlayer, c_plus_up, c_minus_up, c_plus_down,
                               c_minus_down, b_top_row, b_surface_row,
@@ -120,25 +121,82 @@ def _solve_two_stream_scratch(nlayer, c_plus_up, c_minus_up, c_plus_down,
 # reflected light
 # ---------------------------------------------------------------------------
 
+def _cumtau_mxu(dtau):
+    """Level cumulative tau via a lower-triangular matmul on the MXU.
+
+    A sequential per-row accumulation wastes 7/8 of each VPU tile on
+    single-row ops; the prefix sum is instead one (nlevel, nlayer) x
+    (nlayer, bw) matmul with a constant strictly-lower-triangular mask —
+    ~0.1% of the kernel's FLOPs, done at full f32 precision.
+    """
+    nlayer = dtau.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (nlayer + 1, nlayer), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nlayer + 1, nlayer), 1)
+    tri = (col < row).astype(dtau.dtype)
+    return jax.lax.dot_general(tri, dtau, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=dtau.dtype)
+
+
+def _optics_block(taugas, tauray, copd, cw0, cg0, rf, stream,
+                  delta_eddington):
+    """combine_optics per wavelength block in VMEM (optics.py:327-431,
+    default branch — test modes stay on the unfused path)."""
+    dtau_og = taugas + tauray + copd
+    cldw = cw0 * copd
+    ftau_cld = cldw / (cldw + tauray)
+    ftau_ray = tauray / (tauray + cldw)
+    gcos2 = 0.5 * ftau_ray
+    w0_og = (tauray * rf + cldw) / dtau_og
+    cosb_og = cg0
+    tau_og = _cumtau_mxu(dtau_og)
+    if delta_eddington:
+        f = cosb_og ** int(stream)
+        w0 = w0_og * (1.0 - f) / (1.0 - w0_og * f)
+        cosb = (cosb_og - f) / (1.0 - f)
+        dtau = dtau_og * (1.0 - w0_og * f)
+        tau = _cumtau_mxu(dtau)
+    else:
+        w0, cosb, dtau, tau = w0_og, cosb_og, dtau_og, tau_og
+    return (dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
+            dtau_og, tau_og, w0_og, cosb_og)
+
+
 def _reflected_kernel(u0_ref, u1_ref, ct_ref, dtau_ref, tau_ref, w0_ref,
                       cosb_ref, gcos2_ref, ftau_cld_ref, ftau_ray_ref,
                       dtau_og_ref, tau_og_ref, w0_og_ref, cosb_og_ref,
                       sr_ref, f0pi_ref, out_ref, *scr, controls, nang,
                       b_top):
-    cos_theta = ct_ref[0]
-    dtau = dtau_ref[...]
-    tau = tau_ref[...]
-    w0 = w0_ref[...]
-    cosb = cosb_ref[...]
-    gcos2 = gcos2_ref[...]
-    ftau_cld = ftau_cld_ref[...]
-    ftau_ray = ftau_ray_ref[...]
-    dtau_og = dtau_og_ref[...]
-    tau_og = tau_og_ref[...]
-    w0_og = w0_og_ref[...]
-    cosb_og = cosb_og_ref[...]
-    surf_reflect = sr_ref[...]   # [1, bw]
-    F0PI = f0pi_ref[...]         # [1, bw]
+    _reflected_core(
+        u0_ref, u1_ref, ct_ref[0], dtau_ref[...], tau_ref[...],
+        w0_ref[...], cosb_ref[...], gcos2_ref[...], ftau_cld_ref[...],
+        ftau_ray_ref[...], dtau_og_ref[...], tau_og_ref[...],
+        w0_og_ref[...], cosb_og_ref[...], sr_ref[...], f0pi_ref[...],
+        out_ref, scr, controls=controls, nang=nang, b_top=b_top)
+
+
+def _reflected_kernel_fused(u0_ref, u1_ref, ct_ref, taugas_ref, tauray_ref,
+                            copd_ref, cw0_ref, cg0_ref, rf_ref, sr_ref,
+                            f0pi_ref, out_ref, *scr, controls, nang, b_top,
+                            stream, delta_eddington):
+    """Reflected megakernel with the optics assembly fused in: reads the
+    per-source optical depths and builds the 13 RTProps fields in VMEM,
+    so the [nlayer, nwno] property set is never materialized in HBM."""
+    (dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray, dtau_og, tau_og,
+     w0_og, cosb_og) = _optics_block(
+        taugas_ref[...], tauray_ref[...], copd_ref[...], cw0_ref[...],
+        cg0_ref[...], rf_ref[...], stream, delta_eddington)
+    _reflected_core(
+        u0_ref, u1_ref, ct_ref[0], dtau, tau, w0, cosb, gcos2, ftau_cld,
+        ftau_ray, dtau_og, tau_og, w0_og, cosb_og, sr_ref[...],
+        f0pi_ref[...], out_ref, scr, controls=controls, nang=nang,
+        b_top=b_top)
+
+
+def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
+                    ftau_cld, ftau_ray, dtau_og, tau_og, w0_og, cosb_og,
+                    surf_reflect, F0PI, out_ref, scr, *, controls, nang,
+                    b_top):
     nlayer = dtau.shape[0]
 
     sq3 = jnp.sqrt(3.0).astype(dtau.dtype)
@@ -421,12 +479,36 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
 
 def _thermal_kernel(u1_ref, allb_ref, dtau_ref, w0_ref, cosb_ref,
                     tautop_ref, sr_ref, out_ref, *scr, nang, hard_surface):
-    all_b = allb_ref[...]        # [nlevel, bw]
-    dtau = dtau_ref[...]
-    w0 = w0_ref[...]
-    cosb = cosb_ref[...]
-    tau_top = tautop_ref[...]    # [1, bw]
-    surf_reflect = sr_ref[...]   # [1, bw]
+    _thermal_core(u1_ref, allb_ref[...], dtau_ref[...], w0_ref[...],
+                  cosb_ref[...], tautop_ref[...], sr_ref[...], out_ref,
+                  scr, nang=nang, hard_surface=hard_surface)
+
+
+def _thermal_kernel_fused(u1_ref, allb_ref, taugas_ref, tauray_ref,
+                          copd_ref, cw0_ref, cg0_ref, ptfac_ref, sr_ref,
+                          out_ref, *scr, nang, hard_surface):
+    """Thermal megakernel with the optics assembly fused in.
+
+    Thermal uses the OG (no-delta-Eddington) fields with the fixed
+    0.99999 no-raman albedo (justdoit.py:330-342); tau_top derives from
+    the first layer's dtau and the pressure factor p0/(p1-p0) passed as
+    an SMEM scalar (fluxes.py:1797-1800).
+    """
+    taugas = taugas_ref[...]
+    tauray = tauray_ref[...]
+    copd = copd_ref[...]
+    dtau = taugas + tauray + copd
+    cldw = cw0_ref[...] * copd
+    w0 = (tauray * 0.99999 + cldw) / dtau
+    cosb = cg0_ref[...]
+    tau_top = dtau[:1] * ptfac_ref[0]
+    _thermal_core(u1_ref, allb_ref[...], dtau, w0, cosb, tau_top,
+                  sr_ref[...], out_ref, scr, nang=nang,
+                  hard_surface=hard_surface)
+
+
+def _thermal_core(u1_ref, all_b, dtau, w0, cosb, tau_top, surf_reflect,
+                  out_ref, scr, *, nang, hard_surface):
     nlayer = dtau.shape[0]
     bw = dtau.shape[1]
     mu1 = 0.5
@@ -567,4 +649,99 @@ def thermal_pallas(all_b, dtau, w0, cosb, tau_top, surf_reflect, ubar1,
         scratch_shapes=[thomas] * 14 + [sweep] * 4,
         interpret=interpret,
     )(u1, all_b, dtau, w0, cosb, tau_top[None, :], surf_reflect[None, :])
+    return out.reshape(ng, nt, nwno)
+
+
+@partial(jax.jit, static_argnames=('controls', 'b_top', 'stream',
+                                   'delta_eddington', 'block_w',
+                                   'interpret'))
+def reflected_pallas_fused(taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
+                           surf_reflect, ubar0, ubar1, cos_theta, F0PI,
+                           controls: ScatteringControls =
+                           ScatteringControls(),
+                           b_top: float = 0.0, stream: int = 2,
+                           delta_eddington: bool = True,
+                           block_w: int = 384, interpret: bool = False):
+    """Reflected TOA intensity with the optics assembly fused in-kernel.
+
+    Equivalent to combine_optics + reflected_pallas but the 13-field
+    RTProps set never exists in HBM: the kernel reads the 6 per-source
+    inputs and builds the properties per wavelength block in VMEM
+    (including the level-tau cumulations), saving the property-set
+    write + read traffic between the optics and RT stages.
+    """
+    ng, nt = ubar0.shape
+    nang = ng * nt
+    nlayer, nwno = taugas.shape
+    nblocks = -(-nwno // block_w)
+
+    u0 = ubar0.reshape(-1).astype(taugas.dtype)
+    u1 = ubar1.reshape(-1).astype(taugas.dtype)
+    ct = jnp.asarray(cos_theta, taugas.dtype).reshape(1)
+
+    layer_spec = pl.BlockSpec((nlayer, block_w), lambda i: (0, i))
+    row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scratch = pltpu.VMEM((nlayer, nang * block_w), taugas.dtype)
+
+    kernel = partial(_reflected_kernel_fused, controls=controls,
+                     nang=nang, b_top=float(b_top), stream=int(stream),
+                     delta_eddington=bool(delta_eddington))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[smem_spec, smem_spec, smem_spec, layer_spec, layer_spec,
+                  layer_spec, layer_spec, layer_spec, layer_spec,
+                  row_spec, row_spec],
+        out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((nang, nwno), taugas.dtype),
+        scratch_shapes=[scratch] * 12,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u0, u1, ct, taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
+      surf_reflect[None, :], F0PI[None, :])
+    return out.reshape(ng, nt, nwno)
+
+
+@partial(jax.jit, static_argnames=('hard_surface', 'block_w', 'interpret'))
+def thermal_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
+                         ptfac, surf_reflect, ubar1,
+                         hard_surface: bool = False, block_w: int = 512,
+                         interpret: bool = False):
+    """TOA thermal flux with the optics assembly fused in-kernel.
+
+    ``ptfac`` is the scalar p0/(p1-p0) for the fake above-model boundary
+    tau (fluxes.py:1797-1800); the kernel computes dtau_og / w0_no_raman
+    from the per-source inputs in VMEM.
+    """
+    ng, nt = ubar1.shape
+    nang = ng * nt
+    nlayer, nwno = taugas.shape
+    nblocks = -(-nwno // block_w)
+
+    u1 = ubar1.reshape(-1).astype(taugas.dtype)
+    pt = jnp.asarray(ptfac, taugas.dtype).reshape(1)
+    layer_spec = pl.BlockSpec((nlayer, block_w), lambda i: (0, i))
+    level_spec = pl.BlockSpec((nlayer + 1, block_w), lambda i: (0, i))
+    row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    thomas = pltpu.VMEM((nlayer, block_w), taugas.dtype)
+    sweep = pltpu.VMEM((nlayer, nang * block_w), taugas.dtype)
+
+    kernel = partial(_thermal_kernel_fused, nang=nang,
+                     hard_surface=bool(hard_surface))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[smem_spec, level_spec, layer_spec, layer_spec,
+                  layer_spec, layer_spec, layer_spec, smem_spec, row_spec],
+        out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((nang, nwno), taugas.dtype),
+        scratch_shapes=[thomas] * 14 + [sweep] * 4,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u1, all_b, taugas, tauray, cld_opd, cld_w0, cld_g0, pt,
+      surf_reflect[None, :])
     return out.reshape(ng, nt, nwno)

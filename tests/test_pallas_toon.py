@@ -141,3 +141,81 @@ def test_interp_tau_blocked_parity():
 
     g2 = grid.with_blocked_table(block_w=256)
     assert g2.log_kappa_blocked is not None
+
+
+@pytest.fixture(scope='module')
+def raw_sources():
+    """Per-source optical depths for the fused-optics kernels."""
+    rng = np.random.default_rng(11)
+    nlayer, nwno = 20, 700
+    taugas = rng.uniform(1e-4, 1.5, (nlayer, nwno))
+    tauray = rng.uniform(1e-5, 0.3, (nlayer, nwno))
+    copd = rng.uniform(0.0, 1.0, (nlayer, nwno))
+    cw0 = rng.uniform(0.3, 0.99, (nlayer, nwno))
+    cg0 = rng.uniform(0.0, 0.9, (nlayer, nwno))
+    rf = rng.uniform(0.9, 0.99999, (nlayer, nwno))
+    return dict(taugas=taugas, tauray=tauray, copd=copd, cw0=cw0,
+                cg0=cg0, rf=rf, nlayer=nlayer, nwno=nwno)
+
+
+@pytest.mark.parametrize('delta_eddington', [True, False])
+def test_reflected_fused_optics_parity(raw_sources, delta_eddington):
+    """combine_optics + scan path == the fused-optics Pallas kernel."""
+    from picaso_tpu.optics import combine_optics
+    from picaso_tpu.rt.pallas_toon import reflected_pallas_fused
+
+    s = raw_sources
+    nwno = s['nwno']
+    rng = np.random.default_rng(3)
+    ubar0 = jnp.asarray(rng.uniform(0.1, 1.0, (3, 1)))
+    ubar1 = jnp.asarray(rng.uniform(0.1, 1.0, (3, 1)))
+    surf = jnp.zeros(nwno)
+    F0PI = jnp.ones(nwno)
+    c = ScatteringControls(single_phase=3)
+    props = combine_optics(
+        jnp.asarray(s['taugas']), jnp.asarray(s['tauray']),
+        jnp.asarray(s['copd']), jnp.asarray(s['cw0']),
+        jnp.asarray(s['cg0']), jnp.asarray(s['rf']),
+        delta_eddington=delta_eddington, stream=2)
+    ref, _ = reflected_1d(
+        props.dtau, props.tau, props.w0, props.cosb, props.gcos2,
+        props.ftau_cld, props.ftau_ray, props.dtau_og, props.tau_og,
+        props.w0_og, props.cosb_og, surf, ubar0, ubar1, 0.5, F0PI, c)
+    out = reflected_pallas_fused(
+        jnp.asarray(s['taugas']), jnp.asarray(s['tauray']),
+        jnp.asarray(s['copd']), jnp.asarray(s['cw0']),
+        jnp.asarray(s['cg0']), jnp.asarray(s['rf']), surf, ubar0, ubar1,
+        0.5, F0PI, c, stream=2, delta_eddington=delta_eddington,
+        block_w=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-8)
+
+
+def test_thermal_fused_optics_parity(raw_sources):
+    from picaso_tpu.optics import combine_optics
+    from picaso_tpu.rt.pallas_toon import thermal_pallas_fused
+
+    s = raw_sources
+    nlayer, nwno = s['nlayer'], s['nwno']
+    tlevel = jnp.asarray(np.linspace(400.0, 1600.0, nlayer + 1))
+    plevel = jnp.asarray(np.logspace(-4, 2, nlayer + 1))
+    wno = jnp.asarray(np.linspace(300.0, 20000.0, nwno))
+    ubar1 = jnp.asarray(np.random.default_rng(2).uniform(0.1, 1, (3, 1)))
+    surf = jnp.full(nwno, 0.1)
+    props = combine_optics(
+        jnp.asarray(s['taugas']), jnp.asarray(s['tauray']),
+        jnp.asarray(s['copd']), jnp.asarray(s['cw0']),
+        jnp.asarray(s['cg0']), jnp.asarray(s['rf']))
+    ref_top, _ = thermal_1d(tlevel, props.dtau_og, props.w0_no_raman,
+                            props.cosb_og, plevel, ubar1, surf, wno,
+                            dwno=jnp.zeros(nwno), hard_surface=False,
+                            calc_type=0)
+    all_b = blackbody(tlevel, 1.0 / wno).astype(jnp.float64)
+    ptfac = plevel[0] / (plevel[1] - plevel[0])
+    out = thermal_pallas_fused(
+        all_b, jnp.asarray(s['taugas']), jnp.asarray(s['tauray']),
+        jnp.asarray(s['copd']), jnp.asarray(s['cw0']),
+        jnp.asarray(s['cg0']), ptfac, surf, ubar1, hard_surface=False,
+        block_w=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_top),
+                               rtol=2e-5, atol=1e-8)
