@@ -49,12 +49,14 @@ MIX_16 = {'H2O': 1e-3, 'CH4': 5e-4, 'CO': 3e-4, 'NH3': 1e-4, 'CO2': 1e-5,
           'SO2': 1e-8, 'CrH': 1e-9}
 
 
-def build_problem(nwno, dtype=np.float32, nlevel=NLEVEL, production=True):
+def build_problem(nwno, dtype=np.float32, nlevel=NLEVEL, production=True,
+                  blocked='f32'):
     """Scene + grid + config at the requested size.
 
     production=True uses the ragged 1060-point PT grid with 16 molecules
     (the real table shape); False keeps a small regular grid (used by
-    tests and the verify drives for quick iteration).
+    tests and the verify drives for quick iteration).  blocked='int16'
+    stores the Pallas gather layout quantized (half the HBM).
     """
     from picaso_tpu.opacities import factory
     from picaso_tpu import pipeline
@@ -86,7 +88,7 @@ def build_problem(nwno, dtype=np.float32, nlevel=NLEVEL, production=True):
     use_pallas = jax.default_backend() not in ('cpu', 'gpu')
     config = dataclasses.replace(config, use_pallas=use_pallas)
     if use_pallas:
-        grid = grid.with_blocked_table()
+        grid = grid.with_blocked_table(quantize=(blocked == 'int16'))
     return scene, grid, config
 
 
@@ -124,10 +126,11 @@ def _perturbed(scene, n):
 
 
 def measure(nwno, n_iter, dtype=np.float32, production=True,
-            config_patch=None):
+            config_patch=None, blocked='f32'):
     from picaso_tpu import pipeline
 
-    scene, grid, config = build_problem(nwno, dtype, production=production)
+    scene, grid, config = build_problem(nwno, dtype, production=production,
+                                        blocked=blocked)
     if config_patch:
         config = dataclasses.replace(config, **config_patch)
     scenes = _perturbed(scene, n_iter)
@@ -189,6 +192,18 @@ def measure_spectra_and_transit(nwno, n_iter):
                                 transmission=True)
     transit = _rate(lambda s: pipeline.forward(s, grid, cfg_t), scenes,
                     n_iter)
+    if grid.log_kappa_blocked is not None:
+        # int16 fixed-point table (opannection(blocked='int16')): halves
+        # the gather stage's HBM traffic at ~1e-3 dex quantization error.
+        # Drop the f32 blocked copy first so the quantization's
+        # transpose temp + the int16 copy fit alongside the flat table.
+        import jax
+        grid = grid._replace(log_kappa_blocked=None)
+        gq = grid.with_blocked_table(quantize=True)
+        grid = None
+        jax.block_until_ready(gq.log_kappa_blocked)
+        roofline['quantized_spectra_per_s'] = round(_rate(
+            lambda s: pipeline.forward(s, gq, config), scenes, n_iter), 2)
     return headline, transit, roofline
 
 
@@ -327,7 +342,8 @@ def main():
     # contention; the same program compiles fine minutes later) — retry
     # the headline measurement a few times before giving up
     rate = None
-    for attempt in range(3):
+    nwno_used = NWNO
+    for attempt in range(4):
         try:
             rate, transit_rate, roofline = measure_spectra_and_transit(
                 NWNO, N_ITER)
@@ -337,9 +353,26 @@ def main():
         except Exception as e:
             extra['transit_error'] = f'{type(e).__name__}: {e}'[:200]
             jax.clear_caches()
-            time.sleep(45)
+            time.sleep(45 * (attempt + 1))
     if rate is None:
-        rate = measure(NWNO, N_ITER)
+        # degradation ladder for a contended relay: the int16 table
+        # shrinks the program's footprint by 2.2 GB at full shape; then
+        # progressively smaller wavelength grids (reported as such — no
+        # extrapolation of the headline)
+        for blocked, nw in (('int16', NWNO), ('f32', NWNO),
+                            ('f32', 37_500), ('f32', 25_000)):
+            try:
+                rate = measure(nw, N_ITER, blocked=blocked)
+                nwno_used = nw
+                if blocked == 'int16' or nw != NWNO:
+                    extra['headline_note'] = (
+                        f'relay refused the full-size program after '
+                        f'retries; measured blocked={blocked} nwno={nw}')
+                break
+            except Exception as e:
+                extra['headline_error'] = f'{type(e).__name__}: {e}'[:200]
+                jax.clear_caches()
+                time.sleep(45)
     # release the ~7 GB of device tables before the subprocess configs
     # (they share the one chip)
     gc.collect()
@@ -401,9 +434,9 @@ def main():
     print(json.dumps({
         'metric': '1D reflected+thermal spectra/sec at production table '
                   f'shape (1060-pt ragged PT grid, 16 molecules, '
-                  f'nwno={NWNO}, nlevel={NLEVEL}, '
+                  f'nwno={nwno_used}, nlevel={NLEVEL}, '
                   f'{jax.devices()[0].platform})',
-        'value': round(rate, 4),
+        'value': round(rate, 4) if rate is not None else None,
         'unit': 'spectra/s',
         'vs_baseline': (round(vs_baseline, 2)
                         if vs_baseline == vs_baseline else None),

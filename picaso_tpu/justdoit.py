@@ -218,8 +218,10 @@ def opannection(wave_range=None, filename_db=None, raman_db=None,
                            resample=resample, molecules=molecules)
     if blocked:
         # wavelength-block-major copy for the fast Pallas gather (one
-        # extra table-sized HBM allocation; see OpacityGrid)
-        grid = grid.with_blocked_table()
+        # extra table-sized HBM allocation; see OpacityGrid).
+        # blocked='int16' stores that copy quantized: half the extra HBM
+        # and half the gather traffic at ~1e-3 dex error.
+        grid = grid.with_blocked_table(quantize=(blocked == 'int16'))
     return Opacity(np.asarray(grid.wno), grid=grid, raman_db=raman_table,
                    query_method=query_method)
 

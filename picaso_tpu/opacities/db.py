@@ -85,23 +85,33 @@ class OpacityGrid(NamedTuple):
     continuum_molecules: tuple
     # optional wavelength-block-major copy [npt, nwb, nmol, block_w] for
     # the contiguous-DMA Pallas gather (pallas_interp.blocked_table):
-    # 4.2x faster than gathering from the flat layout on TPU v5e
+    # 4.2x faster than gathering from the flat layout on TPU v5e.
+    # May be int16 fixed-point (see with_blocked_table(quantize=True)),
+    # in which case blocked_qparams carries the [scale, offset] pair.
     log_kappa_blocked: Optional[jnp.ndarray] = None
+    blocked_qparams: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         children = (self.wno, self.log_kappa, self.pt, self.cont_opa,
-                    self.cia_temps, self.log_kappa_blocked)
+                    self.cia_temps, self.log_kappa_blocked,
+                    self.blocked_qparams)
         aux = (self.molecules, self.continuum_molecules)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:5], *aux, children[5])
+        return cls(*children[:5], *aux, *children[5:])
 
-    def with_blocked_table(self, block_w=16384):
+    def with_blocked_table(self, block_w=16384, quantize=False):
         """Return a copy carrying the blocked gather layout (adds one
-        extra table-sized HBM allocation)."""
+        extra table-sized HBM allocation; ``quantize=True`` stores it as
+        int16 fixed point — half the extra HBM and half the gather
+        traffic at ~1e-3 dex quantization error)."""
         from .pallas_interp import blocked_table
+        if quantize:
+            q, qp = blocked_table(self.log_kappa, block_w=block_w,
+                                  quantize=True)
+            return self._replace(log_kappa_blocked=q, blocked_qparams=qp)
         return self._replace(
             log_kappa_blocked=blocked_table(self.log_kappa,
                                             block_w=block_w))

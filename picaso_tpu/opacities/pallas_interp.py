@@ -112,7 +112,7 @@ def interp_tau_pallas(log_kappa, idx, t_w, p_w, mixcol, block_w=16384,
 # wavelength-block-major table layout: contiguous row fetches
 # ---------------------------------------------------------------------------
 
-def blocked_table(log_kappa, block_w=16384):
+def blocked_table(log_kappa, block_w=16384, quantize=False):
     """Repack [nmol, npt, nwno] -> [npt, nwb, nmol, block_w] (padded with
     the 1e-50 floor).
 
@@ -121,15 +121,59 @@ def blocked_table(log_kappa, block_w=16384):
     effective on v5e (the whole-table sequential rate is 450 GB/s).  In
     the blocked layout each of the 4 neighbor-row fetches is ONE
     contiguous nmol*block_w*4-byte DMA.
+
+    quantize=True additionally stores the table as int16 fixed point in
+    log10 space (returns ``(qtable, qparams)`` with qparams=[scale,
+    offset] f32).  The uniform log10 step over the table's full range is
+    ~1e-3 dex (<0.3 % in opacity) — far below the (T, P)-grid
+    interpolation error — and the gather stage's HBM traffic halves.
     """
     nmol, npt, nwno = log_kappa.shape
+    # block_w is an upper bound: pick the number of blocks it implies,
+    # then shrink the block to the smallest 128-multiple that still
+    # covers nwno — otherwise a grid like nwno=50000 pads 4x16384 blocks
+    # to 65536 lanes and 31% of the gather's HBM traffic (and VPU work)
+    # is spent on padding
     block_w = max(128, min(block_w, nwno) // 128 * 128)
     nwb = -(-nwno // block_w)
-    pad = nwb * block_w - nwno
-    lk = jnp.pad(log_kappa, ((0, 0), (0, 0), (0, pad)),
+    per_block = -(-nwno // nwb)
+    block_w = -(-per_block // 128) * 128
+    # the repacks run as ONE jitted program each: eager op-by-op
+    # dispatch holds several table-sized temps at once (pad + reshape +
+    # transpose copies), which OOMs a 16 GB chip next to the flat table
+    # at production shape
+    if quantize:
+        return _repack_quantized(log_kappa, nwb, block_w)
+    return _repack_f32(log_kappa, nwb, block_w)
+
+
+@partial(jax.jit, static_argnames=('nwb', 'block_w'))
+def _repack_f32(log_kappa, nwb, block_w):
+    nmol, npt, nwno = log_kappa.shape
+    lk = jnp.pad(log_kappa, ((0, 0), (0, 0), (0, nwb * block_w - nwno)),
                  constant_values=-50.0)
     return jnp.transpose(lk.reshape(nmol, npt, nwb, block_w),
                          (1, 2, 0, 3))
+
+
+@partial(jax.jit, static_argnames=('nwb', 'block_w'))
+def _repack_quantized(log_kappa, nwb, block_w):
+    nmol, npt, nwno = log_kappa.shape
+    # range over the unpadded table; the -50 padding clips to the bottom
+    # code (those lanes are sliced off after the gather kernel anyway)
+    lo = jnp.min(log_kappa).astype(jnp.float32)
+    hi = jnp.max(log_kappa).astype(jnp.float32)
+    scale = jnp.maximum(hi - lo, 1e-6) / 65534.0
+    # quantize BEFORE pad/transpose so the big temps are int16
+    q = jnp.clip(jnp.round((log_kappa - lo) / scale) - 32767.0,
+                 -32767, 32767).astype(jnp.int16)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, nwb * block_w - nwno)),
+                constant_values=np.int16(-32767))
+    q = jnp.transpose(q.reshape(nmol, npt, nwb, block_w), (1, 2, 0, 3))
+    # the kernel computes logk = (sum_i w_i q_i) * scale + offset with
+    # sum w_i == 1, so fold the +32767 re-centering into the offset
+    qparams = jnp.stack([scale, 32767.0 * scale + lo]).astype(jnp.float32)
+    return q, qparams
 
 
 def _blocked_kernel(idx_ref, w_ref, mix_ref, k0_ref, k1_ref, k2_ref,
@@ -144,35 +188,67 @@ def _blocked_kernel(idx_ref, w_ref, mix_ref, k0_ref, k1_ref, k2_ref,
     out_ref[...] = acc.reshape(1, 1, -1)
 
 
+def _blocked_kernel_q(idx_ref, w_ref, mix_ref, qp_ref, k0_ref, k1_ref,
+                      k2_ref, k3_ref, out_ref, *, nmol):
+    """int16 fixed-point variant: the four neighbor rows arrive quantized
+    in log10 space; with the bilinear weights summing to 1 a single
+    dequantize after the weighted sum is exact."""
+    l = pl.program_id(0)
+    f = jnp.float32
+    qbar = (w_ref[0, l] * k0_ref[0, 0].astype(f)
+            + w_ref[1, l] * k1_ref[0, 0].astype(f)
+            + w_ref[2, l] * k2_ref[0, 0].astype(f)
+            + w_ref[3, l] * k3_ref[0, 0].astype(f))
+    logk = qbar * qp_ref[0] + qp_ref[1]
+    kappa = jnp.exp(_LN10 * (logk + _LOG_AVO))   # [nmol, bw]
+    acc = mix_ref[0, l] * kappa[0:1, :]
+    for m in range(1, nmol):
+        acc = acc + mix_ref[m, l] * kappa[m:m + 1, :]
+    out_ref[...] = acc.reshape(1, 1, -1)
+
+
 @partial(jax.jit, static_argnames=('nwno', 'interpret'))
 def interp_tau_pallas_blocked(blocked, idx, t_w, p_w, mixcol, nwno,
-                              interpret=False):
+                              qparams=None, interpret=False):
     """taugas [nlayer, nwno] from a :func:`blocked_table` layout —
-    identical arithmetic to :func:`interp_tau_pallas`."""
+    identical arithmetic to :func:`interp_tau_pallas`.  An int16
+    ``blocked`` (from ``blocked_table(..., quantize=True)``) requires the
+    matching ``qparams`` and halves the gather's HBM traffic."""
     npt, nwb, nmol, block_w = blocked.shape
     nlayer = idx.shape[1]
+    quantized = blocked.dtype == jnp.int16
+    wdtype = jnp.float32 if quantized else blocked.dtype
     w4 = jnp.stack([(1 - t_w) * (1 - p_w), t_w * (1 - p_w),
-                    t_w * p_w, (1 - t_w) * p_w], 0).astype(blocked.dtype)
-    mixcol = mixcol.astype(blocked.dtype)
+                    t_w * p_w, (1 - t_w) * p_w], 0).astype(wdtype)
+    mixcol = mixcol.astype(wdtype)
     idx = idx.astype(jnp.int32)
+
+    nscalar = 4 if quantized else 3
 
     def make_spec(q):
         return pl.BlockSpec((1, 1, nmol, block_w),
-                            lambda l, b, idx_ref, w_ref, mix_ref:
+                            lambda l, b, idx_ref, *rest:
                             (idx_ref[q, l], b, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=nscalar,
         grid=(nlayer, nwb),
         in_specs=[make_spec(0), make_spec(1), make_spec(2), make_spec(3)],
         out_specs=pl.BlockSpec((1, 1, block_w),
                                lambda l, b, *refs: (l, 0, b)),
     )
+    if quantized:
+        if qparams is None:
+            raise ValueError('int16 blocked table requires qparams')
+        kernel = partial(_blocked_kernel_q, nmol=nmol)
+        scalars = (idx, w4, mixcol, qparams.astype(jnp.float32))
+    else:
+        kernel = partial(_blocked_kernel, nmol=nmol)
+        scalars = (idx, w4, mixcol)
     out = pl.pallas_call(
-        partial(_blocked_kernel, nmol=nmol),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nlayer, 1, nwb * block_w),
-                                       blocked.dtype),
+        out_shape=jax.ShapeDtypeStruct((nlayer, 1, nwb * block_w), wdtype),
         interpret=interpret,
-    )(idx, w4, mixcol, blocked, blocked, blocked, blocked)
+    )(*scalars, blocked, blocked, blocked, blocked)
     return out.reshape(nlayer, -1)[:, :nwno]

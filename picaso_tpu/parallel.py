@@ -80,7 +80,9 @@ def shard_grid(grid: OpacityGrid, mesh: Mesh) -> OpacityGrid:
         cia_temps=jax.device_put(grid.cia_temps, rep),
         molecules=grid.molecules,
         continuum_molecules=grid.continuum_molecules,
-        log_kappa_blocked=blocked)
+        log_kappa_blocked=blocked,
+        blocked_qparams=(None if grid.blocked_qparams is None else
+                         jax.device_put(grid.blocked_qparams, rep)))
 
 
 def sharded_forward(scene, grid, config, mesh):

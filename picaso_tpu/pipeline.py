@@ -161,7 +161,8 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
             mixcol = mixcol.at[i].set(mix_cols[j] * colw)
         if grid.log_kappa_blocked is not None:
             taugas = interp_tau_pallas_blocked(
-                grid.log_kappa_blocked, idx, t_w, p_w, mixcol, nwno)
+                grid.log_kappa_blocked, idx, t_w, p_w, mixcol, nwno,
+                qparams=grid.blocked_qparams)
         else:
             taugas = interp_tau_pallas(grid.log_kappa, idx, t_w, p_w,
                                        mixcol)

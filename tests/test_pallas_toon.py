@@ -219,3 +219,48 @@ def test_thermal_fused_optics_parity(raw_sources):
         block_w=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_top),
                                rtol=2e-5, atol=1e-8)
+
+
+def test_interp_tau_blocked_quantized_parity():
+    """int16 fixed-point blocked table tracks the f32 XLA path to the
+    ~1e-3 dex quantization error bound."""
+    from picaso_tpu.opacities.db import _find_indices, interp_molecular
+    from picaso_tpu.opacities import assemble
+    from picaso_tpu.opacities.factory import synthetic_opacity_grid
+    from picaso_tpu.opacities.pallas_interp import (
+        blocked_table, interp_tau_pallas_blocked)
+
+    nwno, nlayer = 700, 12
+    wno = np.linspace(1000.0, 15000.0, nwno)
+    grid = synthetic_opacity_grid(wno, molecules=('H2O', 'CH4', 'CO'),
+                                  ntemp=6, npress=5)
+    rng = np.random.default_rng(7)
+    tlayer = jnp.asarray(rng.uniform(200.0, 2400.0, nlayer))
+    player = jnp.asarray(np.logspace(-5, 2, nlayer))
+    colden = jnp.asarray(rng.uniform(1.0, 100.0, nlayer))
+    mmw = jnp.asarray(rng.uniform(2.2, 2.4, nlayer))
+    mix = jnp.asarray(rng.uniform(1e-6, 1e-3, (3, nlayer)))
+
+    kappa = interp_molecular(grid, tlayer, player)
+    ref = np.asarray(assemble.molecular_tau(kappa, mix, colden, mmw))
+
+    t_w, p_w, idx = _find_indices(grid.pt, tlayer, player)
+    mixcol = mix * colden[None, :] / mmw[None, :]
+    q, qp = blocked_table(grid.log_kappa, block_w=256, quantize=True)
+    assert q.dtype == jnp.int16
+    out = np.asarray(interp_tau_pallas_blocked(
+        q, idx, t_w, p_w, mixcol, nwno, qparams=qp, interpret=True))
+    # quantization step in log10 over the table range; mixing-sum error
+    # is bounded by the per-molecule relative error
+    step = float(qp[0])
+    rtol = 10.0 ** (0.5 * step) - 1.0 + 1e-4
+    np.testing.assert_allclose(out, ref, rtol=5 * rtol)
+
+    g2 = grid.with_blocked_table(block_w=256, quantize=True)
+    assert g2.log_kappa_blocked.dtype == jnp.int16
+    assert g2.blocked_qparams is not None
+
+    # missing qparams must be an explicit error
+    with pytest.raises(ValueError):
+        interp_tau_pallas_blocked(q, idx, t_w, p_w, mixcol, nwno,
+                                  interpret=True)
