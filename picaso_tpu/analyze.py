@@ -40,6 +40,8 @@ class GridFitter:
         self.grids = [grid_name]
         self.fit_results = {}
         self.verbose = verbose
+        self._store = {}    # grid_name -> flat-attribute snapshot
+        self.data = {}      # data_name -> dataset dict (add_data)
         if models is not None:
             self.wavenumber = np.asarray(models['wavenumber'])
             self.spectra = np.asarray(models['spectra'])
@@ -51,6 +53,87 @@ class GridFitter:
             self.load_grid(location)
         else:
             raise ValueError('give location= or models=')
+        self._store[grid_name] = self._flat()
+
+    def _flat(self):
+        return {'wavenumber': self.wavenumber, 'spectra': self.spectra,
+                'grid_params': self.grid_params,
+                'files': self.list_of_files}
+
+    def _use(self, grid_name):
+        """Point the flat attributes at a named grid (no-op for names
+        that predate add_grid)."""
+        g = self._store.get(grid_name)
+        if g is not None:
+            self.wavenumber = g['wavenumber']
+            self.spectra = g['spectra']
+            self.grid_params = g['grid_params']
+            self.list_of_files = g['files']
+
+    # -- reference multi-grid accumulation API (analyze.py:92-183) ----------
+    def find_grid(self, grid_name, model_dir):
+        """Validate a model directory and record its file list
+        (analyze.py:98-112)."""
+        if not os.path.isdir(model_dir):
+            raise ValueError(f'model directory does not exist: '
+                             f'{model_dir}')
+        files = sorted(glob.glob(os.path.join(model_dir, '*.h5'))
+                       + glob.glob(os.path.join(model_dir, '*.nc')))
+        if not files:
+            raise ValueError(f'no .h5/.nc models found in {model_dir}')
+        if self.verbose:
+            print(f'Total number of models in grid is {len(files)}')
+        return files
+
+    def add_grid(self, grid_name, model_dir, to_fit='fpfs_thermal',
+                 **_ignored):
+        """Accumulate another named model grid (analyze.py:112-118);
+        ``to_fit`` is the stored spectra key (e.g. 'transit_depth')."""
+        self.find_grid(grid_name, model_dir)
+        self.load_grid(model_dir, spectra_key=to_fit)
+        if grid_name not in self.grids:
+            self.grids.append(grid_name)
+        self._store[grid_name] = self._flat()
+
+    def add_data(self, data_name, wlgrid_center, wlgrid_width, y_data,
+                 e_data):
+        """Register a named dataset so fits can refer to it by name
+        (analyze.py:119-143)."""
+        self.data[data_name] = {
+            'wlgrid_center': np.asarray(wlgrid_center),
+            'wlgrid_width': np.asarray(wlgrid_width),
+            'y_data': np.asarray(y_data),
+            'e_data': np.asarray(e_data)}
+
+    def fit_all(self, offset=False):
+        """Fit every added grid against every added dataset
+        (analyze.py:144-150)."""
+        for g in self.grids:
+            if g not in self._store:
+                continue
+            for d in self.data:
+                self.fit_grid(g, d, offset=offset)
+        return self.fit_results
+
+    def check_square(self, grid_name=None):
+        """True when the parameter table is a full factorial grid
+        (analyze.py:151-183)."""
+        self._use(grid_name or self.grid_name)
+        if not len(self.grid_params.columns):
+            return True
+        n = 1
+        for c in self.grid_params.columns:
+            n *= len(pd.unique(self.grid_params[c]))
+        return n == len(self.grid_params)
+
+    def as_dict(self):
+        """Serializable snapshot of grids + fit results
+        (analyze.py as_dict)."""
+        return {'grids': list(self.grids),
+                'data': {k: {kk: np.asarray(vv).tolist()
+                             for kk, vv in v.items()}
+                         for k, v in self.data.items()},
+                'fit_results': self.fit_results}
 
     def load_grid(self, location, spectra_key='fpfs_thermal'):
         """Load every stored model in a directory (analyze.py:184).
@@ -110,15 +193,21 @@ class GridFitter:
         """Reference-name alias of :meth:`load_grid` (analyze.py:184)."""
         return self.load_grid(location, spectra_key=spectra_key)
 
-    def fit_grid(self, grid_name, data_name, wlgrid_center, y_data, e_data,
-                 offset=False):
+    def fit_grid(self, grid_name, data_name, wlgrid_center=None,
+                 y_data=None, e_data=None, offset=False):
         """Chi-square fit of every grid member to a dataset
         (analyze.py:305-388).
 
         wlgrid_center in micron; models are binned onto the data grid.
         With ``offset`` a per-model additive shift minimizing chi2 is fit
-        analytically.
+        analytically.  Omit the data arrays to fit a dataset previously
+        registered with :meth:`add_data` under ``data_name``.
         """
+        self._use(grid_name)
+        if wlgrid_center is None:
+            ds = self.data[data_name]
+            wlgrid_center = ds['wlgrid_center']
+            y_data, e_data = ds['y_data'], ds['e_data']
         wl = np.asarray(wlgrid_center)
         y = np.asarray(y_data)
         e = np.asarray(e_data)

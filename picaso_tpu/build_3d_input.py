@@ -12,8 +12,76 @@ import numpy as np
 
 from . import disco as disco_mod
 
-__all__ = ['regrid_to_gauss_cheby', 'rebin_mitgcm_pt', 'rebin_mitgcm_cld',
-           'make_3d_pt_input', 'make_3d_cld_input']
+__all__ = ['regrid_xarray', 'regrid_to_gauss_cheby', 'rebin_mitgcm_pt',
+           'rebin_mitgcm_cld', 'make_3d_pt_input', 'make_3d_cld_input']
+
+
+def regrid_xarray(dataset, num_gangle=None, num_tangle=None,
+                  phase_angle=None, latitude=None, longitude=None):
+    """Regrid a GCM dataset onto disco facet coordinates
+    (build_3d_input.py:12-62, without the xesmf dependency).
+
+    ``dataset`` is an ncio Dataset (read_netcdf), an xarray Dataset, or
+    any mapping of name -> array-with-``dims`` whose spatial dims are
+    named lat/lon (or latitude/longitude).  Supply either
+    (num_gangle, num_tangle, phase_angle) to target the Gauss-Chebyshev
+    grid, or explicit latitude/longitude arrays [degrees].  Returns a
+    dict {'latitude': deg, 'longitude': deg, <var>: regridded array}.
+    """
+    coords = getattr(dataset, 'coords', {})
+
+    def coord(*names):
+        for n in names:
+            if n in coords:
+                v = coords[n]
+                return np.asarray(getattr(v, 'values', v))
+        raise KeyError(f'dataset has no coordinate named any of {names}')
+
+    src_lat = coord('lat', 'latitude')
+    src_lon = coord('lon', 'longitude')
+
+    if num_gangle is not None and num_tangle is not None:
+        geom = disco_mod.make_geometry(phase_angle or 0.0,
+                                       num_gangle=num_gangle,
+                                       num_tangle=num_tangle)
+        latitude = np.degrees(geom.latitude)
+        longitude = np.degrees(geom.longitude)
+    elif latitude is None or longitude is None:
+        raise ValueError('supply (num_gangle, num_tangle, phase_angle) '
+                         'or explicit latitude/longitude arrays')
+
+    out = {'latitude': np.asarray(latitude),
+           'longitude': np.asarray(longitude)}
+    spatial = {'lat', 'latitude', 'lon', 'longitude'}
+    for name, var in dataset.data_vars.items():
+        dims = tuple(getattr(var, 'dims', ()))
+        if not (spatial & set(dims)):
+            continue
+        vals = np.asarray(getattr(var, 'values', var))
+        # move (lon, lat) to the trailing axes regrid_to_gauss_cheby expects
+        lon_ax = next(i for i, d in enumerate(dims)
+                      if d in ('lon', 'longitude'))
+        lat_ax = next(i for i, d in enumerate(dims)
+                      if d in ('lat', 'latitude'))
+        vals = np.moveaxis(vals, (lon_ax, lat_ax), (-2, -1))
+        idx_hi_lon = np.clip(np.searchsorted(src_lon, out['longitude']),
+                             1, len(src_lon) - 1)
+        idx_hi_lat = np.clip(np.searchsorted(src_lat, out['latitude']),
+                             1, len(src_lat) - 1)
+        lo_lon, lo_lat = idx_hi_lon - 1, idx_hi_lat - 1
+        w_lon = np.clip((out['longitude'] - src_lon[lo_lon])
+                        / (src_lon[idx_hi_lon] - src_lon[lo_lon]), 0, 1)
+        w_lat = np.clip((out['latitude'] - src_lat[lo_lat])
+                        / (src_lat[idx_hi_lat] - src_lat[lo_lat]), 0, 1)
+        c_ll = vals[..., lo_lon[:, None], lo_lat[None, :]]
+        c_hl = vals[..., idx_hi_lon[:, None], lo_lat[None, :]]
+        c_lh = vals[..., lo_lon[:, None], idx_hi_lat[None, :]]
+        c_hh = vals[..., idx_hi_lon[:, None], idx_hi_lat[None, :]]
+        wl = w_lon[:, None]
+        wt = w_lat[None, :]
+        out[name] = ((1 - wl) * (1 - wt) * c_ll + wl * (1 - wt) * c_hl
+                     + (1 - wl) * wt * c_lh + wl * wt * c_hh)
+    return out
 
 
 def regrid_to_gauss_cheby(lat, lon, cube, num_gangle=10, num_tangle=10,

@@ -21,6 +21,7 @@ import pandas as pd
 from . import justdoit as jdi
 from . import units as u
 from .parameterizations import Parameterize
+from .wavelength import conv_non_uniform_R  # noqa: F401 (driver.py:338)
 from .sampler import nested_sample, ensemble_sample
 
 __all__ = ['run', 'load_toml', 'setup_spectrum_class', 'prior_finder',

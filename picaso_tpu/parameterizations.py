@@ -31,9 +31,29 @@ class Parameterize:
         self.nlevel = len(self.pressure)
         self.mieff_dir = mieff_dir
         self.case = None
+        # Mie tables for condensate-aware cloud parameterizations
+        # (parameterizations.py:24-37): dict species -> virga mieff dict
+        self.mie = {}
+        if load_cld_optical is not None:
+            from . import virga as vj
+            if isinstance(load_cld_optical, str):
+                load_cld_optical = [load_cld_optical]
+            if mieff_dir is None:
+                raise ValueError('load_cld_optical requires mieff_dir')
+            for sp in load_cld_optical:
+                mie = vj._load_gas_mieff(sp, mieff_dir)
+                if mie is None:
+                    raise FileNotFoundError(
+                        f'{sp}.mieff not found in {mieff_dir}')
+                self.mie[sp] = mie
 
     def add_class(self, picaso_inputs_class):
         self.case = picaso_inputs_class
+        prof = picaso_inputs_class.inputs.get('atmosphere', {}).get(
+            'profile')
+        if prof is not None and 'pressure' in getattr(prof, 'columns', ()):
+            self.pressure = np.asarray(prof['pressure'])
+            self.nlevel = len(self.pressure)
 
     # -- temperature parameterizations --------------------------------------
     def pt_isothermal(self, T):
@@ -158,6 +178,118 @@ class Parameterize:
                        / (np.log10(P_deep) - np.log10(P_top)), 0, 1)
         return 10 ** (logvmr_top + frac * (logvmr_deep - logvmr_top))
 
+    # -- condensate Mie optics (needs load_cld_optical + mieff_dir) ----------
+    def get_particle_dist(self, species, distribution,
+                          lognorm_kwargs=None, hansen_kwargs=None):
+        """Particle number-density distribution on the species' Mie
+        radius grid (parameterizations.py:59-81): ``'lognorm'``
+        (sigma = width in log10 radius, lograd = log10 median radius
+        [cm]) or ``'hansen'`` (Hansen 1971: lograd = log10 effective
+        radius a [cm], b = variance)."""
+        radii = self.mie[species]['radii']
+        if 'lognorm' in distribution:
+            kw = lognorm_kwargs or {}
+            sigma, lograd = kw['sigma'], kw['lograd']
+            logr = np.log10(radii)
+            return (1.0 / (sigma * np.sqrt(2.0 * np.pi))
+                    * np.exp(-(logr - lograd) ** 2 / (2.0 * sigma ** 2)))
+        if 'hansen' in distribution:
+            kw = hansen_kwargs or {}
+            a, b = 10.0 ** kw['lograd'], kw['b']
+            return (radii ** ((1.0 - 3.0 * b) / b)
+                    * np.exp(-radii / (a * b)))
+        raise ValueError("distribution must be 'lognorm' or 'hansen'")
+
+    def _dist_optics(self, condensate, ndz, distribution, lognorm_kwargs,
+                     hansen_kwargs):
+        """(opd [nw], w0, g0, wavenumber ascending) for a distribution
+        integrated against the condensate's Mie tables."""
+        from . import virga as vj
+        if condensate not in self.mie:
+            raise KeyError(f'{condensate} not preloaded — pass it via '
+                           'load_cld_optical at construction')
+        mie = self.mie[condensate]
+        dist = self.get_particle_dist(condensate, distribution,
+                                      lognorm_kwargs, hansen_kwargs)
+        opd, w0, g0, wavenumber = vj.calc_optics_user_r_dist(
+            mie['wave_um'], ndz, mie['radii'], dist, mie['qext'],
+            mie['qscat'], mie['cos_qscat'])
+        order = np.argsort(wavenumber)
+        return opd[order], w0[order], g0[order], wavenumber[order]
+
+    def cloud_flex_fsed(self, condensate, base_pressure, ndz, fsed,
+                        distribution, lognorm_kwargs=None,
+                        hansen_kwargs=None):
+        """Cloud decaying upward from ``base_pressure`` at rate ``fsed``
+        whose optics come from a user particle-size distribution
+        integrated over the condensate's Mie tables
+        (parameterizations.py:94-146)."""
+        opd, w0, g0, wavenumber = self._dist_optics(
+            condensate, ndz, distribution, lognorm_kwargs, hansen_kwargs)
+        play = np.sqrt(self.pressure[1:] * self.pressure[:-1])
+        # arbitrary height coordinate — fsed and ndz absorb the scale
+        scale_h = 10.0
+        z = np.linspace(100.0, 0.0, len(play))
+        decay = np.where(play > base_pressure, 0.0,
+                         np.exp(-fsed * z / scale_h))
+        return picaso_format(opd, w0, g0, wavenumber, play,
+                             p_bottom=base_pressure, p_decay=decay)
+
+    def cloud_brewster_mie(self, condensate, distribution, decay_type,
+                           lognorm_kwargs=None, hansen_kwargs=None,
+                           slab_kwargs=None, deck_kwargs=None):
+        """Mie-optics cloud (lognormal/hansen particle distribution)
+        with a slab or deck vertical opd profile
+        (parameterizations.py:148-199)."""
+        opd, w0, g0, wavenumber = self._dist_optics(
+            condensate, 1.0, distribution, lognorm_kwargs, hansen_kwargs)
+        play = np.sqrt(self.pressure[1:] * self.pressure[:-1])
+        if decay_type == 'slab':
+            kw = slab_kwargs or {}
+            ptop = kw['ptop']
+            pbottom = ptop * 10.0 ** kw.get('dp', 0.005)
+            total = kw.get('reference_tau', 1.0)
+            inside = (play >= ptop) & (play <= pbottom)
+            profile = np.where(inside, total / max(int(inside.sum()), 1),
+                               0.0)
+        elif decay_type == 'deck':
+            kw = deck_kwargs or {}
+            ptop, dp = kw['ptop'], kw.get('dp', 0.005)
+            opd_max = kw.get('opd_max', 10.0)
+            profile = opd_max * np.exp(
+                -(np.log10(ptop) - np.log10(play)) / dp)
+            profile = np.where(play >= ptop, opd_max, profile)
+        else:
+            raise ValueError("decay_type must be 'slab' or 'deck'")
+        return picaso_format(opd, w0, g0, wavenumber, play,
+                             opd_profile=profile)
+
+    def cloud_virga(self, **virga_kwargs):
+        """Run the full virga cloud solver from retrieval parameters
+        (parameterizations.py:82-93).  ``kzz`` (scalar or [nlevel]) is
+        written into the atmosphere profile; remaining kwargs go to
+        ``inputs.virga`` (condensates, fsed, mh, ...)."""
+        assert self.case is not None, 'call add_class(inputs) first'
+        kzz = virga_kwargs.pop('kzz', None)
+        if kzz is not None:
+            self.case.inputs['atmosphere']['profile']['kz'] = kzz
+        virga_kwargs.setdefault('directory', self.mieff_dir)
+        self.case.virga(**virga_kwargs)
+        return self.case.inputs['clouds']['profile']
+
+    # -- chemistry parameterizations -----------------------------------------
+    def chem_visscher(self, cto_absolute, log_mh):
+        """Chemically-consistent abundances from the Visscher grid
+        (parameterizations.py:438-441)."""
+        assert self.case is not None, 'call add_class(inputs) first'
+        try:
+            self.case.chemeq_visscher_2121(cto_absolute, log_mh)
+        except FileNotFoundError:
+            # the 2121-point grids are a separate download; the bundled
+            # 1060 grid covers the same (T, P) science range
+            self.case.chemeq_visscher_1060(cto_absolute, log_mh)
+        return self.case.inputs['atmosphere']['profile']
+
     # -- cloud parameterizations ---------------------------------------------
     def cloud_hard_grey(self, g0, w0, opd, p, dp):
         """Box cloud (delegates to inputs.clouds; justdoit.py:4126)."""
@@ -210,14 +342,49 @@ class Parameterize:
         return df
 
 
-def picaso_format(opd, w0, g0, wavenumber_grid=None, pressure_grid=None):
-    """Flatten [nlayer, nwno] cloud arrays to the .cld dataframe layout
-    (parameterizations.py:672-752 / virga.picaso_format)."""
-    opd = np.asarray(opd)
+def picaso_format(opd, w0, g0, wavenumber_grid=None, pressure_grid=None,
+                  p_bottom=None, p_top=None, p_decay=None,
+                  opd_profile=None):
+    """Flatten cloud arrays to the .cld dataframe layout
+    (parameterizations.py:672-752 / virga.picaso_format).
+
+    ``opd`` may be [nlayer, nwno] (used as-is) or a 1D spectral shape
+    [nwno] combined with a vertical structure the reference way:
+    ``p_decay`` [nlayer] scales opd by p_decay/max(p_decay);
+    ``opd_profile`` [nlayer] sets the absolute per-layer opd with the
+    spectral shape normalized to its peak; ``p_top``/``p_bottom`` zero
+    the cloud outside [p_top, p_bottom] (bars, on ``pressure_grid``).
+    """
+    opd = np.asarray(opd, float)
+    w0 = np.asarray(w0, float)
+    g0 = np.asarray(g0, float)
+    if opd.ndim == 1:
+        if pressure_grid is None:
+            raise ValueError('1D opd needs pressure_grid')
+        play = np.asarray(pressure_grid, float)
+        if p_decay is not None:
+            d = np.asarray(p_decay, float)
+            vert = d / max(d.max(), 1e-300)
+            opd2d = vert[:, None] * opd[None, :]
+        elif opd_profile is not None:
+            prof = np.asarray(opd_profile, float)
+            opd2d = prof[:, None] * (opd / max(opd.max(), 1e-300))[None, :]
+        elif p_top is not None or p_bottom is not None:
+            opd2d = np.broadcast_to(opd[None, :],
+                                    (len(play), len(opd))).copy()
+        else:
+            raise ValueError('1D opd needs p_top/p_decay/opd_profile')
+        lo = p_top if p_top is not None else 0.0
+        hi = p_bottom if p_bottom is not None else np.inf
+        inside = (play >= lo) & (play <= hi)
+        opd2d = np.where(inside[:, None], opd2d, 0.0)
+        w0 = np.where(inside[:, None], w0[None, :], 0.0)
+        g0 = np.where(inside[:, None], g0[None, :], 0.0)
+        opd = opd2d
     nl, nw = opd.shape
     df = pd.DataFrame({'opd': opd.ravel(),
-                       'w0': np.asarray(w0).ravel(),
-                       'g0': np.asarray(g0).ravel()})
+                       'w0': np.broadcast_to(w0, opd.shape).ravel(),
+                       'g0': np.broadcast_to(g0, opd.shape).ravel()})
     if wavenumber_grid is not None:
         df['wavenumber'] = np.tile(np.asarray(wavenumber_grid), nl)
     if pressure_grid is not None:

@@ -55,6 +55,57 @@ class EvoAtmosphereGasGiantPicaso:
             except (FileNotFoundError, EOFError):
                 pass
 
+    def initialize_to_climate_equilibrium_PT_picaso(
+            self, df, Kzz_in, metallicity, CtoO,
+            rainout_condensed_atoms=True):
+        """Cold-start from equilibrium at a picaso profile
+        (photochem.py:76-94): flips the top-down dataframe bottom-up and
+        bar -> dyn/cm^2."""
+        self._pc.initialize_to_climate_equilibrium_PT(
+            df['pressure'].to_numpy()[::-1].copy() * 1e6,
+            df['temperature'].to_numpy()[::-1].copy(),
+            np.asarray(Kzz_in)[::-1].copy(), metallicity, CtoO,
+            rainout_condensed_atoms)
+
+    def reinitialize_to_new_climate_PT_picaso(self, df_temp,
+                                              df_comp_guess, Kzz_in):
+        """Warm-start from a previous steady state (photochem.py:95-131):
+        mixing ratios from ``df_comp_guess`` are normalized and handed to
+        photochem on the new climate PT."""
+        pc = self._pc
+        species = set(getattr(pc.dat, 'species_names', [])
+                      ) or set(df_comp_guess.keys())
+        mix = {k: df_comp_guess[k].to_numpy()[::-1].copy()
+               for k in df_comp_guess
+               if k in species and k not in ('pressure', 'temperature',
+                                             'kz')}
+        tot = sum(mix.values())
+        mix = {k: v / tot for k, v in mix.items()}
+        pc.reinitialize_to_new_climate_PT(
+            df_temp['pressure'].to_numpy()[::-1].copy() * 1e6,
+            df_temp['temperature'].to_numpy()[::-1].copy(),
+            np.asarray(Kzz_in)[::-1].copy(), mix)
+
+    def add_concentrations_to_picaso_df(self, df):
+        """Write the current photochem steady state into a picaso profile
+        dataframe (photochem.py:36-75), normalized, top-down."""
+        pc = self._pc
+        sol = pc.return_atmosphere_climate_grid()
+        press_dyn = df['pressure'].to_numpy()[::-1].copy() * 1e6
+        if not np.all(np.isclose(press_dyn, self.gdat.P_clima_grid)):
+            raise ValueError('df pressures do not match the photochem '
+                             'climate grid')
+        out = df.copy()
+        for key, vals in sol.items():
+            if key in ('pressure', 'temperature', 'Kzz', 'alt'):
+                continue
+            out[key] = np.asarray(vals)[::-1]
+        gas_cols = [c for c in out.columns
+                    if c not in ('pressure', 'temperature', 'kz')]
+        tot = out[gas_cols].sum(axis=1)
+        out[gas_cols] = out[gas_cols].div(tot, axis=0)
+        return out
+
     def run_for_picaso(self, df, log10metallicity, CtoO, Kzz,
                        df_comp_guess=None, rainout_condensed_atoms=True):
         """Steady-state kinetics on the climate grid (photochem.py:132-183).
@@ -68,26 +119,13 @@ class EvoAtmosphereGasGiantPicaso:
         concentrations loaded in.
         """
         pc = self._pc
-        press_dyn = df['pressure'].to_numpy()[::-1].copy() * 1e6
-        temp_bu = df['temperature'].to_numpy()[::-1].copy()
-        kzz_bu = np.asarray(Kzz)[::-1].copy()
         if df_comp_guess is None:
-            pc.initialize_to_climate_equilibrium_PT(
-                press_dyn, temp_bu, kzz_bu, 10.0 ** log10metallicity,
-                CtoO, rainout_condensed_atoms)
+            self.initialize_to_climate_equilibrium_PT_picaso(
+                df, Kzz, 10.0 ** log10metallicity, CtoO,
+                rainout_condensed_atoms)
         else:
-            # normalized mixing ratios from the previous solution
-            # (photochem.py:112-130 reinitialize semantics)
-            species = set(getattr(pc.dat, 'species_names', [])
-                          ) or set(df_comp_guess.keys())
-            mix = {k: df_comp_guess[k].to_numpy()[::-1].copy()
-                   for k in df_comp_guess
-                   if k in species and k not in ('pressure', 'temperature',
-                                                 'kz')}
-            tot = sum(mix.values())
-            mix = {k: v / tot for k, v in mix.items()}
-            pc.reinitialize_to_new_climate_PT(press_dyn, temp_bu, kzz_bu,
-                                              mix)
+            self.reinitialize_to_new_climate_PT_picaso(df, df_comp_guess,
+                                                       Kzz)
         converged = pc.find_steady_state()
         if not converged:
             raise RuntimeError('photochem failed to find a steady state')

@@ -607,6 +607,38 @@ def _calc_optics(wave_um, radii, dr, qext_t, qscat_t, cosq_t, qc, rg,
     return ext, scat, cosb
 
 
+def calc_optics_user_r_dist(wave_um, ndz, radii, dist, qext_t, qscat_t,
+                            cosq_t):
+    """Column optics for a user-supplied particle-size distribution.
+
+    Parity role of virga's ``calc_optics_user_r_dist`` (used by the
+    reference's retrieval cloud parameterizations,
+    parameterizations.py:137-196): integrate the Mie efficiency tables
+    against an arbitrary number-density distribution ``dist`` on the
+    ``radii`` grid [cm], for a column number density ``ndz`` [cm^-2].
+
+    qext_t/qscat_t/cosq_t: [nrad, nwave] tables (cosq_t stores the
+    product g*qscat, the .mieff convention).  Returns (opd [nw], w0 [nw],
+    g0 [nw], wavenumber [nw]).
+    """
+    wave_um = np.asarray(wave_um, float)
+    radii = np.asarray(radii, float)
+    dist = np.asarray(dist, float)
+    dr = np.gradient(radii)
+    w = dist * dr
+    tot = w.sum()
+    if tot <= 0:
+        nw = len(wave_um)
+        return np.zeros(nw), np.zeros(nw), np.zeros(nw), 1e4 / wave_um
+    pir2n = ndz * np.pi * radii ** 2 * (w / tot)      # [nrad]
+    ext = qext_t.T @ pir2n
+    scat = qscat_t.T @ pir2n
+    cosb = cosq_t.T @ pir2n
+    w0 = np.clip(scat / np.maximum(ext, 1e-300), 0.0, 1.0)
+    g0 = np.clip(cosb / np.maximum(scat, 1e-300), -1.0, 1.0)
+    return ext, w0, g0, 1e4 / wave_um
+
+
 def _q_tables(mie, radii, wave_um):
     """Efficiency tables on (radii, wave) — from a .mieff file or the
     geometric-optics fallback."""

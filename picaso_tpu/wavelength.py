@@ -13,7 +13,8 @@ import pandas as pd
 
 from .refdata import refdata_path
 
-__all__ = ['get_cld_input_grid', 'regrid', 'mean_regrid', 'create_grid']
+__all__ = ['get_cld_input_grid', 'regrid', 'mean_regrid', 'create_grid',
+           'conv_non_uniform_R']
 
 
 def get_cld_input_grid(filename_or_grid='wave_EGP.dat', grid661=False):
@@ -56,6 +57,31 @@ def create_grid(min_wavelength, max_wavelength, constant_R):
         [[min_wavelength],
          min_wavelength * np.cumprod(np.full(wsize - 1, spacing))])
     return 1e4 / newwl[::-1]
+
+
+def conv_non_uniform_R(model_flux, model_wl, R, obs_wl):
+    """Convolve a model spectrum with a wavelength-dependent resolving
+    power onto an observed wavelength grid (driver.py:338-381).
+
+    The reference loops a Gaussian kernel per observed point; here the
+    whole operation is one [nobs, nmodel] kernel matrix applied as a
+    matvec (MXU-friendly; works on numpy or jax arrays and can sit
+    inside a jitted likelihood).
+
+    Parameters: model_flux/model_wl [nmodel]; R [nobs] resolving power at
+    each observed wavelength; obs_wl [nobs].  Returns [nobs].
+    """
+    xp = np if isinstance(model_flux, np.ndarray) else __import__(
+        'jax.numpy', fromlist=['numpy'])
+    model_wl = xp.asarray(model_wl)
+    obs_wl = xp.asarray(obs_wl)
+    R = xp.asarray(R)
+    sigma = (obs_wl / R) / 2.355                       # FWHM -> sigma
+    arg = ((model_wl[None, :] - obs_wl[:, None])
+           / sigma[:, None]) ** 2
+    kern = xp.exp(-0.5 * arg)
+    kern = kern / xp.sum(kern, axis=1, keepdims=True)
+    return kern @ xp.asarray(model_flux)
 
 
 def mean_regrid(x, y, newx=None, R=None):

@@ -397,3 +397,181 @@ def test_get_evaluations_bands():
         ev, {'d1': (np.linspace(1100, 1900, 12),
                     np.full(12, 1.0), np.full(12, 0.1))})
     assert np.isfinite(chis['chisq_per_datapt'])
+
+
+# ---------------------------------------------------------------------------
+# condensate Mie parameterizations (cloud_flex_fsed / cloud_brewster_mie)
+# ---------------------------------------------------------------------------
+
+def _write_mieff(path, nwave=12, nrad=6, qe=2.0, qs=1.8, g=0.5):
+    """Synthetic virga .mieff file: uniform efficiencies so the
+    distribution-integrated w0/g0 are known in closed form."""
+    wave = np.linspace(0.5, 5.0, nwave)
+    radii = np.logspace(-6, -3, nrad)          # cm
+    with open(path, 'w') as f:
+        f.write(f'{nwave} {nrad}\n')
+        for r in radii:
+            f.write(f'{r:.6e}\n')
+            for w in wave:
+                # cos_qscat column stores g*qscat (.mieff convention)
+                f.write(f'{w:.6e} {qs:.6e} {qe:.6e} {g * qs:.6e}\n')
+    return wave, radii
+
+
+def test_calc_optics_user_r_dist_uniform_tables(tmp_path):
+    from picaso_tpu import virga as vj
+    fn = tmp_path / 'MgSiO3.mieff'
+    _write_mieff(str(fn))
+    mie = vj.load_mieff(str(fn))
+    dist = np.exp(-np.log10(mie['radii'] / 1e-4) ** 2)
+    opd, w0, g0, wavenumber = vj.calc_optics_user_r_dist(
+        mie['wave_um'], 1e8, mie['radii'], dist, mie['qext'],
+        mie['qscat'], mie['cos_qscat'])
+    np.testing.assert_allclose(w0, 1.8 / 2.0, rtol=1e-12)
+    np.testing.assert_allclose(g0, 0.5, rtol=1e-12)
+    assert (opd > 0).all()
+    # opd scales linearly with column density
+    opd2, *_ = vj.calc_optics_user_r_dist(
+        mie['wave_um'], 2e8, mie['radii'], dist, mie['qext'],
+        mie['qscat'], mie['cos_qscat'])
+    np.testing.assert_allclose(opd2, 2 * opd, rtol=1e-12)
+
+
+def test_parameterize_mie_clouds(tmp_path):
+    _write_mieff(str(tmp_path / 'MgSiO3.mieff'))
+    par = Parameterize(nlevel=40, load_cld_optical='MgSiO3',
+                       mieff_dir=str(tmp_path))
+    # distributions: positive, correct length
+    d_log = par.get_particle_dist('MgSiO3', 'lognorm',
+                                  lognorm_kwargs={'sigma': 0.5,
+                                                  'lograd': -4.0})
+    d_han = par.get_particle_dist('MgSiO3', 'hansen',
+                                  hansen_kwargs={'b': 0.3, 'lograd': -4.0})
+    assert len(d_log) == 6 and (d_log > 0).all()
+    assert len(d_han) == 6 and (d_han > 0).all()
+
+    play = np.sqrt(par.pressure[1:] * par.pressure[:-1])
+
+    # flex-fsed: zero below base, decaying toward the top above it
+    df = par.cloud_flex_fsed('MgSiO3', base_pressure=1.0, ndz=1e8,
+                             fsed=2.0, distribution='lognorm',
+                             lognorm_kwargs={'sigma': 0.5, 'lograd': -4.0})
+    opd = np.asarray(df['opd']).reshape(len(play), -1)
+    assert (opd[play > 1.0] == 0).all()
+    above = opd[play <= 1.0][:, 0]
+    assert above.max() == pytest.approx(above[-1])     # peak at cloud base
+    assert above[0] < above[-1]
+    np.testing.assert_allclose(np.asarray(df['w0'])[np.asarray(df['opd']) > 0],
+                               0.9, rtol=1e-10)
+
+    # brewster-mie slab: opd only inside [ptop, ptop*10**dp]
+    df = par.cloud_brewster_mie('MgSiO3', 'hansen', 'slab',
+                                hansen_kwargs={'b': 0.3, 'lograd': -4.0},
+                                slab_kwargs={'ptop': 0.1, 'dp': 1.0,
+                                             'reference_tau': 3.0})
+    opd = np.asarray(df['opd']).reshape(len(play), -1)
+    inside = (play >= 0.1) & (play <= 1.0)
+    assert (opd[~inside] == 0).all()
+    assert opd[inside].sum() > 0
+    np.testing.assert_allclose(opd.max(axis=1)[inside].sum(), 3.0,
+                               rtol=1e-10)
+
+    # brewster-mie deck: saturates below ptop
+    df = par.cloud_brewster_mie('MgSiO3', 'lognorm', 'deck',
+                                lognorm_kwargs={'sigma': 0.5,
+                                                'lograd': -4.0},
+                                deck_kwargs={'ptop': 1.0})
+    opd = np.asarray(df['opd']).reshape(len(play), -1)
+    assert opd[play >= 1.0].max() == pytest.approx(10.0)
+
+    # wavenumber column ascending per layer
+    wn = np.asarray(df['wavenumber']).reshape(len(play), -1)
+    assert (np.diff(wn[0]) > 0).all()
+
+
+def test_parameterize_cloud_virga_and_chem(tmp_path):
+    import picaso_tpu.justdoit as jdi
+
+    par = Parameterize()
+    case = jdi.inputs()
+    case.phase_angle(0)
+    case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    nlevel = 30
+    pressure = np.logspace(-6, 2, nlevel)
+    temperature = 1300 * (pressure / 10) ** 0.1
+    import pandas as pd
+    case.atmosphere(df=pd.DataFrame({
+        'pressure': pressure, 'temperature': temperature,
+        'H2': 0.84 + 0 * pressure, 'He': 0.15 + 0 * pressure,
+        'H2O': 1e-3 + 0 * pressure}))
+    par.add_class(case)
+    assert par.nlevel == nlevel   # add_class adopts the case's grid
+
+    df = par.cloud_virga(condensates=['MgSiO3'], fsed=1.0, kzz=1e9,
+                         solver='analytic')
+    assert {'opd', 'w0', 'g0'} <= set(df.columns)
+    assert np.asarray(df['opd']).max() >= 0
+
+    prof = par.chem_visscher(1.0, 0.0)
+    assert 'CH4' in prof.columns
+    assert np.asarray(prof['H2O']).max() > 0
+
+
+def test_grid_fitter_add_grid_add_data(tmp_path):
+    """Reference accumulation workflow: add_grid/add_data/fit_all
+    (analyze.py:92-183)."""
+    import h5py
+
+    wno = np.linspace(1000, 10000, 150)
+    temps = np.array([600.0, 800.0, 1000.0])
+    gdir = tmp_path / 'grid2'
+    gdir.mkdir()
+    for i, t in enumerate(temps):
+        with h5py.File(str(gdir / f'm{i}.h5'), 'w') as f:
+            g = f.create_group('spectra')
+            g['wavenumber'] = wno
+            g['fpfs_thermal'] = t * (1 + 0.2 * np.sin(wno / 1500))
+            f.attrs['teff'] = t
+
+    base = np.array([[1.0 + 0 * wno]])[0]
+    fitter = GridFitter('toy', models={'wavenumber': wno,
+                                       'spectra': base},
+                        grid_parameters=pd.DataFrame({'teff': [500.0]}),
+                        verbose=False)
+    fitter.add_grid('disk', str(gdir))
+    assert 'disk' in fitter.grids
+    assert fitter.check_square('disk')
+
+    wl = 1e4 / np.linspace(1500, 9500, 40)
+    truth = 800.0 * (1 + 0.2 * np.sin((1e4 / wl) / 1500))
+    fitter.add_data('obs', wl, wl * 0 + 0.01, truth, truth * 0 + 5.0)
+    res = fitter.fit_all()
+    assert 'disk' in res and 'obs' in res['disk']
+    best = fitter.best_fit('disk', 'obs')
+    assert float(best['parameters']['teff']) == 800.0
+    d = fitter.as_dict()
+    assert 'disk' in d['grids'] and 'obs' in d['data']
+
+
+def test_conv_non_uniform_R_matches_loop():
+    """Vectorized instrument convolution == the reference's per-point
+    Gaussian loop (driver.py:338-381)."""
+    from picaso_tpu.wavelength import conv_non_uniform_R
+
+    rng = np.random.default_rng(3)
+    model_wl = np.linspace(1.0, 5.0, 600)
+    flux = 1.0 + 0.5 * np.sin(8 * model_wl) + 0.05 * rng.standard_normal(600)
+    obs_wl = np.linspace(1.2, 4.8, 25)
+    R = np.linspace(50.0, 200.0, 25)
+
+    out = conv_non_uniform_R(flux, model_wl, R, obs_wl)
+
+    expect = np.zeros_like(obs_wl)
+    for i, wlc in enumerate(obs_wl):
+        sigma = (wlc / R[i]) / 2.355
+        k = np.exp(-((model_wl - wlc) ** 2) / (2 * sigma ** 2))
+        expect[i] = np.sum(flux * k / k.sum())
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-10)
+
+    # smoothing: convolved spectrum has less variance than the model
+    assert np.var(np.asarray(out)) < np.var(flux)
