@@ -445,6 +445,50 @@ class GridFitter:
         return (w[:, None] * self.spectra).sum(0)
 
 
+def plot_atmosphere(location, bf_filename, gas_names=None, fig=None,
+                    ax=None, linestyle=None, color=None, label=None):
+    """PT profile + gas mixing ratios from a saved model file
+    (analyze.py:1339-1460).
+
+    Reads a NetCDF model written by justdoit.output_xarray /
+    io_utils.save_model_nc (profile columns on the 'pressure' coord).
+    Returns (fig, ax); pass fig/ax to overlay several best fits.
+    """
+    import matplotlib.pyplot as plt
+
+    from .ncio import read_netcdf
+
+    ds = read_netcdf(os.path.join(location, bf_filename))
+    pressure = np.asarray(ds.coords['pressure'].values)
+    temp = np.asarray(ds['temperature'].values)
+    if gas_names is None:
+        gas_names = [k for k, v in ds.data_vars.items()
+                     if v.dims == ('pressure',) and k != 'temperature']
+    if ax is None:
+        fig, ax = plt.subplots(1, 2, figsize=(9, 4), sharey=True)
+    axT, axX = ax
+    axT.semilogy(temp, pressure, linestyle or '-',
+                 color=color or 'k', label=label)
+    if not axT.yaxis_inverted():
+        axT.invert_yaxis()
+    axT.set_xlabel('temperature [K]')
+    axT.set_ylabel('pressure [bar]')
+    for gas in gas_names:
+        if gas not in ds.data_vars:
+            continue
+        vmr = np.asarray(ds[gas].values)
+        axX.loglog(np.clip(vmr, 1e-30, None), pressure,
+                   linestyle or '-', label=f'{label} {gas}'.strip()
+                   if label else gas)
+    axX.set_xlabel('volume mixing ratio')
+    axX.set_xlim(1e-12, 1.5)
+    axX.legend(fontsize=7)
+    if label:
+        axT.legend(fontsize=8)
+    fig.tight_layout()
+    return fig, ax
+
+
 def sigma(lnz1, lnz2):
     """Bayes factor -> detection significance (Trotta 2008, Table 2).
 

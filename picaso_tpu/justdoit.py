@@ -1641,6 +1641,52 @@ def HJ_cld():
     return refdata_path('base_cases', 'HJ.cld')
 
 
+def HJ_pt_3d(as_xarray=False, add_kz=False, input_file=None):
+    """3D hot-Jupiter PT case file (justdoit.py:5424).  The HJ_3d.pt
+    pickle is not bundled (it is absent from the reference distribution
+    too); point ``input_file`` at a copy or install it in
+    $picaso_refdata/base_cases."""
+    import pickle as _pickle
+    from .refdata import external_refdata
+    if input_file is None:
+        ext = external_refdata()
+        if ext:
+            input_file = os.path.join(ext, 'base_cases', 'HJ_3d.pt')
+    if not (input_file and os.path.exists(input_file)):
+        raise FileNotFoundError(
+            'HJ_3d.pt is not bundled; pass input_file= or install it in '
+            '$picaso_refdata/base_cases (see picaso_tpu.data)')
+    with open(input_file, 'rb') as f:
+        out = _pickle.load(f)
+    if add_kz:
+        for g in out:
+            for t in out[g]:
+                out[g][t]['kz'] = out[g][t]['P'] * 0 + 1e10
+    if as_xarray:
+        raise NotImplementedError(
+            'as_xarray conversion of the facet-dict case file is not '
+            'supported; pass the dict to inputs.atmosphere_3d directly')
+    return out
+
+
+def w17_data():
+    """WASP-17b MIRI transmission spectrum (Grant et al. 2023), bundled
+    (justdoit.py:5505).  Read it with picaso_tpu.ncio.read_netcdf."""
+    return refdata_path(
+        'base_cases',
+        'Grant_etal_transmission_spectrum_vfinal_bin0.25_'
+        'utc20230606_125313.nc')
+
+
+def all_planets():
+    """All confirmed planets from the NASA Exoplanet Archive
+    (justdoit.py:5628; requires network access)."""
+    df = get_targets()
+    for c in df.columns:
+        df[c] = df[c].astype(float, errors='ignore')
+    return df
+
+
 def brown_dwarf_pt():
     return refdata_path('base_cases', 't1270g200f1_m0.0_co1.0.cmp')
 

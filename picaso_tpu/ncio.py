@@ -75,8 +75,19 @@ def _clean_attrs(h5attrs):
 
 
 def read_netcdf(path, group='/'):
-    """Read a NetCDF-4 (or plain HDF5-with-scales) file into NCDataset."""
+    """Read a NetCDF file into NCDataset.
+
+    NetCDF-4 (HDF5-with-scales) is parsed directly; classic NetCDF
+    (CDF-1/2/5 magic, the format of many community datasets, e.g. the
+    bundled WASP-17 transmission spectrum) goes through
+    scipy.io.netcdf_file.
+    """
     import h5py
+
+    with open(path, 'rb') as fh:
+        magic = fh.read(3)
+    if magic == b'CDF':
+        return _read_netcdf_classic(path)
 
     with h5py.File(path, 'r') as f:
         root = f[group]
@@ -117,6 +128,26 @@ def read_netcdf(path, group='/'):
             if vals is not None:
                 coords[name] = NCVar(vals, (name,), attrs)
         return NCDataset(data_vars, coords, _clean_attrs(f.attrs), dims)
+
+
+def _read_netcdf_classic(path):
+    """Classic (CDF) NetCDF via scipy.io.netcdf_file -> NCDataset."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(path, 'r', mmap=False) as f:
+        dims = {k: (v if v is not None else 0)
+                for k, v in f.dimensions.items()}
+        data_vars, coords = {}, {}
+        for name, var in f.variables.items():
+            vals = np.asarray(var.data)
+            attrs = _clean_attrs({k: v for k, v in var._attributes.items()})
+            nc = NCVar(vals, tuple(var.dimensions), attrs)
+            if var.dimensions == (name,):
+                coords[name] = nc
+            else:
+                data_vars[name] = nc
+        attrs = _clean_attrs({k: v for k, v in f._attributes.items()})
+    return NCDataset(data_vars, coords, attrs, dims)
 
 
 def write_netcdf(path, data_vars, coords=None, attrs=None):

@@ -204,3 +204,40 @@ def test_photochem_gate():
         import pytest
         with pytest.raises(ImportError):
             photochem.EvoAtmosphereGasGiantPicaso()
+
+
+def test_w17_data_and_classic_netcdf():
+    """Bundled WASP-17 MIRI spectrum (justdoit.py:5505) reads through the
+    classic-NetCDF path of ncio.read_netcdf."""
+    from picaso_tpu.ncio import read_netcdf
+
+    fn = jdi.w17_data()
+    ds = read_netcdf(fn)
+    depth = np.asarray(ds['transit_depth'].values)
+    err = np.asarray(ds['transit_depth_error'].values)
+    wl = np.asarray(ds.coords['central_wavelength'].values)
+    assert depth.shape == err.shape == wl.shape
+    assert 0.01 < depth.mean() < 0.02          # WASP-17b ~1.5% depth
+    assert (err > 0).all()
+    assert (np.diff(wl) > 0).all()
+
+
+def test_hj_pt_3d_gated(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        jdi.HJ_pt_3d(input_file=str(tmp_path / 'nope.pt'))
+
+
+def test_plot_atmosphere(setup, tmp_path):
+    """analyze.plot_atmosphere reads a saved model nc (analyze.py:1339)."""
+    from picaso_tpu.analyze import plot_atmosphere
+
+    opa, case = setup
+    df = case.spectrum(opa, calculation='reflected')
+    jdi.output_xarray(df, case, savefile=str(tmp_path / 'bf.nc'))
+    fig, ax = plot_atmosphere(str(tmp_path), 'bf.nc',
+                              gas_names=['H2O', 'CH4'])
+    assert ax[0].yaxis_inverted()
+    # overlay a second model on the same axes
+    fig, ax = plot_atmosphere(str(tmp_path), 'bf.nc', fig=fig, ax=ax,
+                              linestyle='--', color='r', label='alt')
+    assert len(ax[0].lines) == 2
