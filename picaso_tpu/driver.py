@@ -25,7 +25,7 @@ from .wavelength import conv_non_uniform_R  # noqa: F401 (driver.py:338)
 from .sampler import nested_sample, ensemble_sample
 
 __all__ = ['run', 'load_toml', 'setup_spectrum_class', 'prior_finder',
-           'MODEL', 'log_likelihood']
+           'MODEL', 'log_likelihood', 'viz', 'conv_non_uniform_R']
 
 
 def load_toml(path_or_dict):
@@ -469,3 +469,56 @@ def run(toml_input, data=None, sampler='nested', nlive=100, nsteps=300,
                    samples_equal=chain[nsteps // 2:].reshape(-1, ndim))
     res['fitpars'] = fitpars
     return res
+
+
+def viz(case, out, savefile=None):
+    """One-figure dashboard of a driver spectrum run
+    (driver.py:713-741: spectra + PT + mixing ratios + clouds; the
+    bokeh dashboard becomes a matplotlib panel grid).
+
+    ``case, out`` are what ``run(..., calc_type='spectrum')`` returns.
+    Returns the figure; ``savefile`` writes it (png/pdf).
+    """
+    import matplotlib.pyplot as plt
+
+    from . import justplotit as jpi
+
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+    (ax_spec, ax_pt), (ax_mr, ax_cld) = axes
+
+    wno = np.asarray(out['wavenumber'])
+    plotted = False
+    for key, lbl in (('albedo', 'albedo'),
+                     ('fpfs_thermal', 'Fp/Fs thermal'),
+                     ('thermal', 'thermal flux'),
+                     ('transit_depth', '(Rp/Rs)^2')):
+        if key in out and np.ndim(out[key]) == 1:
+            ax_spec.plot(1e4 / wno, np.asarray(out[key]), lw=0.8,
+                         label=lbl)
+            plotted = True
+    if plotted:
+        ax_spec.set_xlabel('wavelength [um]')
+        ax_spec.legend(fontsize=8)
+    ax_spec.set_title('spectrum')
+
+    prof = case.inputs['atmosphere']['profile']
+    jpi.pt(pressure=np.asarray(prof['pressure']),
+           temperature=np.asarray(prof['temperature']), ax=ax_pt)
+    jpi.mixing_ratio(prof, ax=ax_mr)
+
+    cld = case.inputs.get('clouds', {}).get('profile')
+    if cld is not None:
+        nlayer = len(np.asarray(prof['pressure'])) - 1
+        opd = np.asarray(cld['opd']).reshape(nlayer, -1)
+        ax_cld.semilogy(opd.sum(axis=1),
+                        np.sqrt(np.asarray(prof['pressure'])[1:]
+                                * np.asarray(prof['pressure'])[:-1]))
+        ax_cld.invert_yaxis()
+        ax_cld.set_xlabel('column opd (summed over wavelength)')
+        ax_cld.set_ylabel('pressure [bar]')
+    ax_cld.set_title('clouds')
+
+    fig.tight_layout()
+    if savefile:
+        fig.savefig(savefile, dpi=150)
+    return fig

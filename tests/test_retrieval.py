@@ -234,11 +234,14 @@ def toml_config(tmp_path_factory):
     return config
 
 
-def test_driver_spectrum_mode(toml_config):
+def test_driver_spectrum_mode(toml_config, tmp_path):
     config = dict(toml_config, calc_type='spectrum',
                   observation_type='transmission')
     case, out = driver.run(config)
     assert np.isfinite(out['transit_depth']).all()
+    # dashboard (driver.py:713-741)
+    fig = driver.viz(case, out, savefile=str(tmp_path / 'dash.png'))
+    assert (tmp_path / 'dash.png').exists()
 
 
 def test_driver_climate_mode(tmp_path):
