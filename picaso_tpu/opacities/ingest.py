@@ -125,6 +125,42 @@ def get_metadata(db_path):
     return out
 
 
+def molecular_avail(db_path):
+    """Molecules present in a DB (opacity_factory.py molecular_avail)."""
+    conn = sqlite3.connect(db_path)
+    try:
+        cur = conn.execute('SELECT DISTINCT molecule FROM molecular')
+        return sorted(x[0] for x in cur.fetchall())
+    finally:
+        conn.close()
+
+
+def continuum_avail(db_path):
+    """Continuum absorbers present in a DB
+    (opacity_factory.py continuum_avail)."""
+    conn = sqlite3.connect(db_path)
+    try:
+        cur = conn.execute('SELECT DISTINCT molecule FROM continuum')
+        return sorted(x[0] for x in cur.fetchall())
+    finally:
+        conn.close()
+
+
+def delete_molecule(mol, db_path):
+    """Drop one molecule's rows from a DB
+    (opacity_factory.py delete_molecule), e.g. before re-inserting an
+    updated line list.  Returns the number of rows removed."""
+    conn = sqlite3.connect(db_path)
+    try:
+        cur = conn.execute('DELETE FROM molecular WHERE molecule = ?',
+                           (mol,))
+        conn.commit()
+        conn.execute('VACUUM')
+        return cur.rowcount
+    finally:
+        conn.close()
+
+
 # ---------------------------------------------------------------------------
 # analytic continuum sources
 # ---------------------------------------------------------------------------

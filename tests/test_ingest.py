@@ -234,3 +234,21 @@ def test_analytic_continuum_sources():
     assert (ff800 == 1e-60).all()
     ff = ingest.hminus_ff(3000.0, wno)
     assert (ff > 0).all()
+
+
+def test_db_utility_helpers(tmp_path):
+    """molecular_avail / continuum_avail / delete_molecule
+    (opacity_factory.py utility surface)."""
+    import numpy as np
+
+    from picaso_tpu.opacities import ingest
+    from picaso_tpu.opacities.factory import build_synthetic_db
+
+    db = str(tmp_path / 'util.db')
+    build_synthetic_db(db, np.linspace(1000, 5000, 40),
+                       molecules=('H2O', 'CH4', 'CO'))
+    assert ingest.molecular_avail(db) == ['CH4', 'CO', 'H2O']
+    assert 'H2H2' in ingest.continuum_avail(db)
+    n = ingest.delete_molecule('CO', db)
+    assert n > 0
+    assert ingest.molecular_avail(db) == ['CH4', 'H2O']
