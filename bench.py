@@ -192,6 +192,21 @@ def measure_spectra_and_transit(nwno, n_iter):
                                 transmission=True)
     transit = _rate(lambda s: pipeline.forward(s, grid, cfg_t), scenes,
                     n_iter)
+    # batched-retrieval configuration: 8 scenes through forward_batch =
+    # ONE dispatch (the production likelihood path; the reference farms
+    # these to MPI ranks).  Rate is per-spectrum.
+    import jax
+    nb = 8
+    batches = [pipeline.stack_scenes(scenes[i * nb:(i + 1) * nb])
+               for i in range(max(1, (n_iter + 1) // nb))]
+    out = pipeline.forward_batch(batches[0], grid, config)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for b in batches:
+        out = pipeline.forward_batch(b, grid, config)
+    jax.block_until_ready(out)
+    roofline['batched8_spectra_per_s'] = round(
+        len(batches) * nb / (time.perf_counter() - t0), 2)
     if grid.log_kappa_blocked is not None:
         # int16 fixed-point table (opannection(blocked='int16')): halves
         # the gather stage's HBM traffic at ~1e-3 dex quantization error.

@@ -332,13 +332,35 @@ def stack_scenes(scenes):
     return jax.tree_util.tree_map(_stack, *scenes)
 
 
-@partial(jax.jit, static_argnames=('config',))
+# small per-scene fields that feed the Pallas megakernels' scalar
+# (SMEM) arguments — a batch axis on these is unsupported by the Mosaic
+# vmap lowering, but across a retrieval batch they are identical anyway
+_SCALARISH_FIELDS = ('ubar0', 'ubar1', 'gweight', 'tweight', 'cos_theta',
+                     'F0PI', 'surf_reflect')
+
+
 def forward_batch(scenes: SceneTensors, grid: OpacityGrid,
                   config: SpectrumConfig):
-    """Batched fused forward: scenes carry a leading batch axis on every
-    field (from :func:`stack_scenes`); outputs gain the same axis."""
+    """Batched fused forward (jit rides on the inner ``forward``):
+    scenes carry a leading batch axis on every field (from
+    :func:`stack_scenes`); outputs gain the same axis.
+
+    Geometry-like fields that are identical across the batch (the
+    retrieval case — same disk nodes, different atmospheres) are passed
+    unbatched so the Pallas megakernel path stays usable; fields that
+    genuinely vary per scene (phase curves) keep their batch axis."""
+    axes = {}
+    updates = {}
+    for name, val in scenes._asdict().items():
+        axes[name] = 0
+        if name in _SCALARISH_FIELDS and np.ndim(val) >= 1:
+            host = np.asarray(val)          # small fields only
+            if (host == host[0]).all():
+                axes[name] = None
+                updates[name] = val[0]
+    scenes = scenes._replace(**updates)
     return jax.vmap(lambda s: forward(s, grid, config),
-                    in_axes=(0,))(scenes)
+                    in_axes=(SceneTensors(**axes),))(scenes)
 
 
 def scene_from_arrays(profile_bar, t_level, mix_named, grid: OpacityGrid,

@@ -492,7 +492,8 @@ def _thermal_kernel_fused(u1_ref, allb_ref, taugas_ref, tauray_ref,
     Thermal uses the OG (no-delta-Eddington) fields with the fixed
     0.99999 no-raman albedo (justdoit.py:330-342); tau_top derives from
     the first layer's dtau and the pressure factor p0/(p1-p0) passed as
-    an SMEM scalar (fluxes.py:1797-1800).
+    a broadcast VMEM row (an SMEM scalar would block jax.vmap batching
+    — Mosaic can't tile a batched scalar block).
     """
     taugas = taugas_ref[...]
     tauray = tauray_ref[...]
@@ -501,7 +502,7 @@ def _thermal_kernel_fused(u1_ref, allb_ref, taugas_ref, tauray_ref,
     cldw = cw0_ref[...] * copd
     w0 = (tauray * 0.99999 + cldw) / dtau
     cosb = cg0_ref[...]
-    tau_top = dtau[:1] * ptfac_ref[0]
+    tau_top = dtau[:1] * ptfac_ref[...]
     _thermal_core(u1_ref, allb_ref[...], dtau, w0, cosb, tau_top,
                   sr_ref[...], out_ref, scr, nang=nang,
                   hard_surface=hard_surface)
@@ -721,7 +722,7 @@ def thermal_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
     nblocks = -(-nwno // block_w)
 
     u1 = ubar1.reshape(-1).astype(taugas.dtype)
-    pt = jnp.asarray(ptfac, taugas.dtype).reshape(1)
+    pt = jnp.broadcast_to(jnp.asarray(ptfac, taugas.dtype), (1, nwno))
     layer_spec = pl.BlockSpec((nlayer, block_w), lambda i: (0, i))
     level_spec = pl.BlockSpec((nlayer + 1, block_w), lambda i: (0, i))
     row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
@@ -735,7 +736,7 @@ def thermal_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
         kernel,
         grid=(nblocks,),
         in_specs=[smem_spec, level_spec, layer_spec, layer_spec,
-                  layer_spec, layer_spec, layer_spec, smem_spec, row_spec],
+                  layer_spec, layer_spec, layer_spec, row_spec, row_spec],
         out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nang, nwno), taugas.dtype),
         scratch_shapes=[thomas] * 14 + [sweep] * 4,

@@ -121,6 +121,28 @@ def main():
             print(f'{name:34s} max {mx:.2e} median {med:.2e} '
                   f'{"OK" if ok else "FAIL"}')
 
+    if backend not in ('cpu', 'gpu'):
+        # int16 fixed-point gather table (opannection(blocked='int16')):
+        # ~1e-3 dex quantization, spectra must stay inside the same f32
+        # tolerance envelope
+        gq = grid._replace(log_kappa_blocked=None).with_blocked_table(
+            quantize=True)
+        cfg = dataclasses.replace(config, transmission=True,
+                                  use_pallas=True)
+        out = pipeline.forward(scene, gq, cfg)
+        jax.block_until_ready(out)
+        for key in ref:
+            mx, med = rel_stats(out[key], ref[key])
+            name = f'forward_{key}_int16'
+            ok = (mx < TOL['forward_max_rel']
+                  and med < 20 * TOL['forward_median_rel'])
+            report['checks'][name] = {'max_rel': mx, 'median_rel': med,
+                                      'ok': ok}
+            report['ok'] &= ok
+            print(f'{name:34s} max {mx:.2e} median {med:.2e} '
+                  f'{"OK" if ok else "FAIL"}')
+        gq = None
+
     from picaso_tpu import justdoit as jdi
     from picaso_tpu.opacities.ck import synthetic_ck_table
 
