@@ -422,6 +422,11 @@ class Atmosphere:
             self.z_alpha = z[0]                              # top of grid
         else:
             self.z_alpha = np.interp(np.log(alpha_pressure), np.log(p), z)
+        # variable-fsed length scale: the constructor's b is in SCALE
+        # HEIGHTS (the virga-user convention, Rooney+2022 beta = b*H);
+        # convert to cm at the anchor level
+        h_asc = np.interp(self.z_alpha, z[::-1], h_level[::-1])
+        self.b_cm = float(self.b) * float(h_asc)
         if latent_heat and self.verbose:
             import warnings
             warnings.warn('latent_heat=True is accepted for API parity '
@@ -430,18 +435,22 @@ class Atmosphere:
 
     # -- sedimentation-efficiency profile -----------------------------------
     def fsed_at(self, z):
+        """fsed(z) = (fsed - eps) exp((z - z_alpha)/beta) + eps with
+        beta = b * H(z_alpha) — ``b`` in scale heights (Rooney+2022)."""
         if self.param == 'const':
             return np.zeros_like(np.asarray(z, float)) + self.fsed
-        fs = (self.fsed - self.eps) * np.exp(-self.z_alpha / self.b)
-        return fs * np.exp(np.asarray(z, float) / self.b) + self.eps
+        arg = np.clip((np.asarray(z, float) - self.z_alpha) / self.b_cm,
+                      -80.0, 80.0)
+        return (self.fsed - self.eps) * np.exp(arg) + self.eps
 
     def fsed_integral(self, z_bot, z_top):
         """integral of fsed dz over [z_bot, z_top] (exact, both params)."""
         if self.param == 'const':
             return self.fsed * (z_top - z_bot)
-        fs = (self.fsed - self.eps) * np.exp(-self.z_alpha / self.b)
-        return (fs * self.b * (np.exp(z_top / self.b)
-                               - np.exp(z_bot / self.b))
+        a_top = np.clip((z_top - self.z_alpha) / self.b_cm, -80.0, 80.0)
+        a_bot = np.clip((z_bot - self.z_alpha) / self.b_cm, -80.0, 80.0)
+        return ((self.fsed - self.eps) * self.b_cm
+                * (np.exp(a_top) - np.exp(a_bot))
                 + self.eps * (z_top - z_bot))
 
 

@@ -108,7 +108,7 @@ def test_optics_am01_eq18():
 
 
 def test_variable_fsed_profile():
-    atmo = _atmo(fsed=6.0, param='exp', b=3e6, eps=1e-2)
+    atmo = _atmo(fsed=6.0, param="exp", b=2.0, eps=1e-2)
     z = atmo.z_level
     # anchored: fsed(z_alpha) = fsed (z_alpha defaults to top of grid)
     assert atmo.fsed_at(atmo.z_alpha) == pytest.approx(6.0)
