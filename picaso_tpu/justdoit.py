@@ -1018,6 +1018,53 @@ class inputs:
         from .climate.api import inputs_climate as _ic
         return _ic(self, **kw)
 
+    def pressure_grid(self, P_config):
+        """Pressure grid from a config dict (justdoit.py:3249):
+        {'min': {'value', 'unit'}, 'max': {...}, 'nlevel', 'spacing'}."""
+        def bar(entry):
+            val = entry['value']
+            unit = entry.get('unit', 'bar')
+            return u.to_cgs(val, unit) / 1e6 if unit != 'bar' else val
+        minp = bar(P_config['min'])
+        maxp = bar(P_config['max'])
+        nlevel = P_config.get('nlevel', 91)
+        if P_config.get('spacing', 'log') == 'log':
+            return np.logspace(np.log10(minp), np.log10(maxp), nlevel)
+        return np.linspace(minp, maxp, nlevel)
+
+    def chemistry_handler(self, chemistry_table=None):
+        """Dispatch equilibrium chemistry from
+        approx['chem_params']['chem_method'] (justdoit.py:2082): runs the
+        matching visscher grid when the profile already has (P, T)."""
+        chem = self.inputs['approx'].setdefault('chem_params', {})
+        method = str(chemistry_table or chem.get('chem_method', ''))
+        prof = self.inputs['atmosphere'].get('profile')
+        has_pt = (prof is not None
+                  and 'temperature' in getattr(prof, 'columns', ()))
+        if not has_pt:
+            chem['chem_method'] = method
+            return
+        mh = chem.get('mh', self.inputs['atmosphere'].get('mh', 0.0))
+        cto = chem.get('cto_absolute',
+                       self.inputs['atmosphere'].get('cto_absolute', 0.458))
+        if '2121' in method:
+            self.chemeq_visscher_2121(cto, mh)
+        elif 'visscher' in method or '1060' in method:
+            self.chemeq_visscher_1060(cto, mh)
+        elif method and method != 'None':
+            raise ValueError(f'unknown chem_method {method!r}')
+
+    def interpret_run(self):
+        """Print a human summary of the configured climate run
+        (justdoit.py:4868)."""
+        print('SUMMARY')
+        print('-------')
+        clim = self.inputs.get('climate', {})
+        print('Clouds:', clim.get('cloudy', False))
+        for k, v in self.inputs['approx'].get('chem_params', {}).items():
+            print(k, v)
+        print('Moist Adiabat:', clim.get('moistgrad', False))
+
     def energy_injection(self, inject_energy=False,
                          total_energy_injection=0, press_max_energy=1,
                          injection_scalehight=1, inject_beam=False,

@@ -241,3 +241,32 @@ def test_plot_atmosphere(setup, tmp_path):
     fig, ax = plot_atmosphere(str(tmp_path), 'bf.nc', fig=fig, ax=ax,
                               linestyle='--', color='r', label='alt')
     assert len(ax[0].lines) == 2
+
+
+def test_pressure_grid_chemistry_handler_interpret_run(capsys):
+    """Thin config-driven helpers (justdoit.py:2082/3249/4868)."""
+    import pandas as pd
+
+    case = jdi.inputs()
+    p = case.pressure_grid({'min': {'value': 1e-6, 'unit': 'bar'},
+                            'max': {'value': 100.0, 'unit': 'bar'},
+                            'nlevel': 40, 'spacing': 'log'})
+    assert len(p) == 40 and p[0] == pytest.approx(1e-6)
+    lin = case.pressure_grid({'min': {'value': 1.0}, 'max': {'value': 5.0},
+                              'nlevel': 5, 'spacing': 'linear'})
+    np.testing.assert_allclose(lin, [1, 2, 3, 4, 5])
+
+    case.phase_angle(0)
+    case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    pr = np.logspace(-6, 2, 30)
+    case.atmosphere(df=pd.DataFrame({
+        'pressure': pr, 'temperature': 1300 * (pr / 10) ** 0.1,
+        'H2': 0.84 + 0 * pr, 'He': 0.16 + 0 * pr}))
+    case.inputs['approx'].setdefault('chem_params', {})[
+        'chem_method'] = 'visscher_1060'
+    case.chemistry_handler()
+    assert 'CH4' in case.inputs['atmosphere']['profile'].columns
+
+    case.interpret_run()
+    out = capsys.readouterr().out
+    assert 'SUMMARY' in out and 'chem_method' in out
