@@ -15,7 +15,8 @@ import urllib.request
 
 from .refdata import bundled_refdata, external_refdata
 
-__all__ = ['data_catalog', 'check_environ', 'get_data']
+__all__ = ['data_catalog', 'check_environ', 'get_data',
+           'check_default_opacity', 'get_reference']
 
 
 def data_catalog(refdata=None):
@@ -99,6 +100,50 @@ def data_catalog(refdata=None):
                                                     'sonora_grids')},
         },
     }
+
+
+def check_default_opacity(refdata=None, verbose=True):
+    """Locate the default monochromatic DB and summarize its metadata
+    (data.py check_default_opacity).  Returns the path or None."""
+    import glob as _glob
+
+    refdata = refdata or external_refdata() or bundled_refdata()
+    hits = sorted(_glob.glob(os.path.join(refdata, 'opacities',
+                                          'opacities*.db')))
+    if not hits:
+        if verbose:
+            print('no opacities*.db found under '
+                  f'{os.path.join(refdata, "opacities")}; use '
+                  'get_data("resampled_opacity") or build one with '
+                  'opacities.factory')
+        return None
+    path = hits[0]
+    if verbose:
+        if len(hits) > 1:
+            print(f'multiple opacity DBs found; using {path}')
+        try:
+            from .opacities.ingest import get_metadata
+            for k, v in get_metadata(path):
+                print(f'{k}: {v}')
+        except Exception as e:
+            print(f'{path}: metadata unreadable ({e})')
+    return path
+
+
+def get_reference(path_to_picaso_refdata=None):
+    """Populate an external $picaso_refdata directory from the bundled
+    reference tree (data.py get_reference downloads the same layout from
+    GitHub; the bundle ships in-package so no network is needed)."""
+    import shutil
+
+    dest = path_to_picaso_refdata or os.environ.get('picaso_refdata')
+    if not dest:
+        raise ValueError('pass a destination or set picaso_refdata')
+    if os.path.exists(os.path.join(dest, 'config.json')):
+        raise FileExistsError(
+            f'{dest} already holds reference data; clear it first')
+    shutil.copytree(bundled_refdata(), dest, dirs_exist_ok=True)
+    return dest
 
 
 def check_environ(verbose=True):

@@ -115,3 +115,25 @@ def test_get_data_file_url(tmp_path):
     assert len(out) == 2
     assert (dest / 'hello.txt').read_text() == 'payload'
     assert (dest / 'table.csv').exists()
+
+
+def test_data_bootstrap_helpers(tmp_path):
+    """check_default_opacity / get_reference (data.py bootstrap)."""
+    import os
+
+    from picaso_tpu import data
+    from picaso_tpu.opacities.factory import build_synthetic_db
+    import numpy as np
+
+    ref = tmp_path / 'refdata'
+    out = data.get_reference(str(ref))
+    assert os.path.exists(os.path.join(out, 'config.json'))
+    with pytest.raises(FileExistsError):
+        data.get_reference(str(ref))
+
+    assert data.check_default_opacity(str(ref), verbose=False) is None
+    dbdir = ref / 'opacities'
+    build_synthetic_db(str(dbdir / 'opacities.db'),
+                       np.linspace(1000, 5000, 40))
+    found = data.check_default_opacity(str(ref), verbose=False)
+    assert found and found.endswith('opacities.db')
