@@ -15,7 +15,7 @@ import numpy as np
 
 __all__ = ['create_template', 'get_info', 'get_evaluations',
            'get_chisq_max', 'plot_pair', 'spread_plot', 'data_output',
-           'summary']
+           'summary', 'plot_spectra_bands', 'plot_pressure_bands']
 
 _TEMPLATES = {
     'free': '''\
@@ -301,3 +301,70 @@ def get_chisq_max(at_evaluations, data_dict):
     chisq = chi_squared(d, e, m) / len(d)
     return {'wavenumber': x, 'model': m, 'datay': d, 'datae': e,
             'chisq_per_datapt': chisq}
+
+
+def plot_spectra_bands(evaluations_dat, colors=('C0', 'C0'), ax=None,
+                       subplots_kwargs=None, R=None):
+    """Posterior spectral bands + median + max-logL spectrum
+    (retrieval.py:370-406) from a :func:`get_evaluations` dict.
+
+    Returns (fig, ax); pass R to re-bin for display.
+    """
+    import matplotlib.pyplot as plt
+
+    from .wavelength import mean_regrid
+
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(**(subplots_kwargs or {}))
+    um = np.asarray(evaluations_dat['wavelength'])
+    bands = evaluations_dat['bands_spectra']
+
+    def rebin(y):
+        if isinstance(R, (int, float)):
+            wno, yy = mean_regrid(1e4 / um, y, R=float(R))
+            return 1e4 / wno, yy
+        return um, y
+
+    for i in (2, 1):
+        x, lo = rebin(bands[f'{i}sig_lo'])
+        _, hi = rebin(bands[f'{i}sig_hi'])
+        ax.fill_between(x, lo, hi, color=colors[i - 1], alpha=0.2,
+                        label=f'{i} sigma')
+    x, med = rebin(bands['median'])
+    ax.plot(x, med, color='k', lw=1, label='median')
+    x, mx = rebin(np.asarray(evaluations_dat['max_logl_spectra']))
+    ax.plot(x, mx, color='r', lw=0.8, label='max logL')
+    ax.set_xlabel('wavelength [um]')
+    ax.legend(fontsize=8)
+    return fig, ax
+
+
+def plot_pressure_bands(evaluations_dat, key, colors=('C0', 'C0'),
+                        ax=None, subplots_kwargs=None, log_x=None):
+    """Posterior pressure-profile bands for one quantity
+    (retrieval.py:407-455): ``key`` is 'temperature' or a molecule from
+    get_evaluations' ``pressure_bands``.  Returns (fig, ax).
+    """
+    import matplotlib.pyplot as plt
+
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(**(subplots_kwargs or {}))
+    pressure = np.asarray(evaluations_dat['pressure'])
+    bands = evaluations_dat['bands_ptchem'][key]
+    for i in (2, 1):
+        ax.fill_betweenx(pressure, bands[f'{i}sig_lo'],
+                         bands[f'{i}sig_hi'], color=colors[i - 1],
+                         alpha=0.2, label=f'{i} sigma')
+    ax.plot(bands['median'], pressure, color='k', lw=1, label='median')
+    ax.plot(np.asarray(evaluations_dat['max_logl_ptchem'][key]), pressure,
+            color='r', lw=0.8, label='max logL')
+    ax.set_yscale('log')
+    if log_x or (log_x is None and key != 'temperature'):
+        ax.set_xscale('log')
+    ax.invert_yaxis()
+    ax.set_ylabel('pressure [bar]')
+    ax.set_xlabel(key)
+    ax.legend(fontsize=8)
+    return fig, ax

@@ -401,6 +401,14 @@ def test_get_evaluations_bands():
                     np.full(12, 1.0), np.full(12, 0.1))})
     assert np.isfinite(chis['chisq_per_datapt'])
 
+    # band plots over the same evaluations dict (retrieval.py:370-455)
+    fig, ax = retrieval.plot_spectra_bands(ev)
+    assert len(ax.collections) == 2 and len(ax.lines) == 2
+    fig, ax = retrieval.plot_pressure_bands(ev, 'temperature')
+    assert ax.yaxis_inverted()
+    fig, ax = retrieval.plot_pressure_bands(ev, 'H2O')
+    assert ax.get_xscale() == 'log'
+
 
 # ---------------------------------------------------------------------------
 # condensate Mie parameterizations (cloud_flex_fsed / cloud_brewster_mie)
