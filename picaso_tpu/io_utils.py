@@ -57,6 +57,13 @@ def read_visscher(filename):
     return pd.read_csv(filename)
 
 
+def read_visscher_2121(filename):
+    """Parse a raw 1060/2121-point Visscher grid text file into a tidy
+    (pressure, temperature, abundances) DataFrame (io_utils.py:7-80)."""
+    from .justdoit import _parse_visscher_grid
+    return _parse_visscher_grid(filename)
+
+
 def standard_metadata():
     """Template metadata tree for stored models (justdoit.py:630-663)."""
     return {
