@@ -351,7 +351,12 @@ class inputs:
             opannection.compute_stellar_shifts(fine_wno, fine_flux)
             bin_flux = opannection.unshifted_stellar_spec
         elif 'climate' in str(self.inputs.get('calculation')):
-            # trapezoid bin-integrated stellar flux (justdoit.py:1843-1879)
+            # trapezoid bin-integrated stellar flux (justdoit.py:1843-1879):
+            # per-bin ENERGY [erg/cm^2/s], consumed by the climate visible
+            # fluxes as plain bin sums (climate.py:1839-1841 sums without
+            # dwni).  The reference integrates per-WAVELENGTH flux over
+            # dlambda; our stellar contract is per-wavenumber, so the
+            # equivalent integral is over dwno (same bin energy).
             mask = flux_star > 1e-30
             lw, lf = np.log10(wno_star[mask]), np.log10(flux_star[mask])
             fine = 10 ** np.interp(np.log10(wno_planet), lw, lf)
@@ -359,7 +364,7 @@ class inputs:
             for i in range(len(wno_planet) - 1):
                 sel = (wno_planet >= wno_planet[i]) & (
                     wno_planet <= wno_planet[i + 1])
-                binned[i] = np.trapezoid(fine[sel], x=-1 / wno_planet[sel])
+                binned[i] = np.trapezoid(fine[sel], x=wno_planet[sel])
             if len(wno_planet) > 2:
                 slope = ((binned[-2] - binned[-3])
                          / (wno_planet[-2] - wno_planet[-3]))

@@ -111,3 +111,40 @@ def test_brown_dwarf_rce_converges(bd_case):
     conv = slice(nstr[1] + 1, nstr[2])
     np.testing.assert_allclose(dtdp[conv], np.asarray(grad)[conv],
                                rtol=0.05)
+
+
+def test_irradiated_rce_converges():
+    """Irradiated exoplanet RCE (rfacv>0): visible stellar heating enters
+    through rfacv-weighted reflected fluxes (climate.py:1806-1813 path).
+    The profile must converge and sit warmer aloft than the same object
+    without irradiation."""
+    ck = synthetic_ck_table()
+    nlevel = 41
+    pressure = np.logspace(-4, 2.5, nlevel)
+    guess = np.clip(700.0 * (pressure / 30) ** 0.1, 300, None)
+
+    def run(irradiated):
+        opa = jdi.opannection(ck_table=ck)
+        case = jdi.inputs(calculation='planet', climate=True)
+        case.effective_temp(700)
+        case.gravity(gravity=20, gravity_unit=jdi.u.Unit('m/(s**2)'))
+        if irradiated:
+            case.star(opa, temp=5600, radius=1.0,
+                      radius_unit=jdi.u.Unit('Rsun'), semi_major=0.05,
+                      semi_major_unit=jdi.u.Unit('au'))
+            case.inputs_climate(temp_guess=guess, pressure=pressure,
+                                rcb_guess=30, rfacv=0.5)
+        else:
+            case.setup_nostar()
+            case.inputs_climate(temp_guess=guess, pressure=pressure,
+                                rcb_guess=30, rfacv=0.0)
+        return case.climate(opa, verbose=False)
+
+    hot = run(True)
+    cold = run(False)
+    assert hot['converged'] == 1 and cold['converged'] == 1
+    t_hot = np.asarray(hot['temperature'])
+    t_cold = np.asarray(cold['temperature'])
+    assert np.isfinite(t_hot).all()
+    # stellar heating warms the upper radiative atmosphere
+    assert t_hot[:10].mean() > t_cold[:10].mean() + 25.0
