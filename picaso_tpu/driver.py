@@ -369,6 +369,9 @@ def setup_climate_class(config, opa=None):
         star = config['star']
         g = star.get('grid', {})
         kw = {}
+        if 'radius' in star:
+            kw.update(radius=star['radius']['value'],
+                      radius_unit=u.Unit(star['radius']['unit']))
         if 'semi_major' in star:
             kw.update(semi_major=star['semi_major']['value'],
                       semi_major_unit=u.Unit(star['semi_major']['unit']))

@@ -288,6 +288,23 @@ def test_driver_climate_mode(tmp_path):
     assert out['converged'] == 1
     assert (np.diff(out['temperature'][5:]) > -1e-6).all()
 
+    # irradiated setup: the star block must produce a properly-scaled
+    # relative flux, sum(F0PI bins) ~ band-limited sigma*T^4 (r/a)^2
+    from picaso_tpu.opacities.ck import synthetic_ck_table
+    from picaso_tpu.climate.core import SIGMA_SB
+    config_irr = dict(config, irradiated=True)
+    config_irr['star'] = {
+        'grid': {'teff': 5600.0},
+        'radius': {'value': 1.0, 'unit': 'Rsun'},
+        'semi_major': {'value': 0.05, 'unit': 'au'}}
+    config_irr['climate'] = dict(config['climate'], rfacv=0.5)
+    case2, opa2 = driver.setup_climate_class(config_irr)
+    assert case2.inputs['climate']['rfacv'] == 0.5
+    rf = np.asarray(opa2.relative_flux)
+    total = (SIGMA_SB * 5600.0 ** 4
+             * ((1.0 * 6.957e10) / (0.05 * 1.496e13)) ** 2)
+    assert 0.05 * total < rf.sum() < 1.1 * total
+
 
 def test_driver_retrieval_recovers_temperature(toml_config):
     config = dict(toml_config)
