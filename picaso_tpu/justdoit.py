@@ -304,11 +304,14 @@ class inputs:
              w_unit=None, f_unit=None, wno=None, flux=None):
         """Bind a stellar spectrum to the opacity connection.
 
-        Unlike the reference (which pulls ck04/phoenix grids through
-        stsynphot, justdoit.py:1756-1912), sources here are: a two-column
-        file, explicit (wno, flux) arrays [erg/cm^2/s/cm^-1], or a blackbody
-        at ``temp`` (default when only temp/metal/logg are given and no
-        stellar grid files are installed).
+        Sources (vs the reference's stsynphot pull, justdoit.py:
+        1756-1912): a two-column file, explicit (wno, flux) arrays, or a
+        blackbody at ``temp`` (default when no stellar grid files are
+        installed).  Flux values are PER-WAVELENGTH [erg/cm^2/s/cm] —
+        the unit the reference's synphot spectra arrive in
+        (justdoit.py:1790) and the one every consumer shares: fpfs
+        divides the per-wavelength thermal flux, and the climate path
+        integrates F dlambda per bin.
         """
         r = u.to_cgs(radius, radius_unit) if radius is not None else np.nan
         sa = (u.to_cgs(semi_major, semi_major_unit)
@@ -332,13 +335,17 @@ class inputs:
             wno_star, flux_star = get_stellar_spectrum(
                 database, temp, metal, logg)
         elif temp is not None:
-            # blackbody fallback: pi * B_nu~ (erg/cm^2/s/cm^-1)
+            # blackbody fallback: pi * B_lambda (erg/cm^2/s/cm — the
+            # shared per-wavelength stellar convention; a per-wavenumber
+            # B here tilts fpfs by lambda^2 and starves the climate's
+            # visible heating)
             wno_star = np.linspace(
                 max(np.min(opannection.wno) - 2500, 10.0),
                 np.max(opannection.wno) + 7000, opannection.nwno * 5 + 1000)
             from .constants import PLANCK_C1, PLANCK_C2
-            flux_star = (np.pi * PLANCK_C1 * wno_star ** 3
-                         / (np.exp(PLANCK_C2 * wno_star / temp) - 1.0))
+            lam = 1.0 / wno_star
+            flux_star = (np.pi * PLANCK_C1 / lam ** 5
+                         / (np.exp(PLANCK_C2 / (lam * temp)) - 1.0))
         else:
             raise ValueError('give filename, (wno, flux) arrays, or temp')
 
@@ -352,11 +359,9 @@ class inputs:
             bin_flux = opannection.unshifted_stellar_spec
         elif 'climate' in str(self.inputs.get('calculation')):
             # trapezoid bin-integrated stellar flux (justdoit.py:1843-1879):
-            # per-bin ENERGY [erg/cm^2/s], consumed by the climate visible
-            # fluxes as plain bin sums (climate.py:1839-1841 sums without
-            # dwni).  The reference integrates per-WAVELENGTH flux over
-            # dlambda; our stellar contract is per-wavenumber, so the
-            # equivalent integral is over dwno (same bin energy).
+            # per-bin ENERGY [erg/cm^2/s] = integral of the per-wavelength
+            # flux over dlambda, consumed by the climate visible fluxes as
+            # plain bin sums (climate.py:1839-1841 sums without dwni)
             mask = flux_star > 1e-30
             lw, lf = np.log10(wno_star[mask]), np.log10(flux_star[mask])
             fine = 10 ** np.interp(np.log10(wno_planet), lw, lf)
@@ -364,7 +369,7 @@ class inputs:
             for i in range(len(wno_planet) - 1):
                 sel = (wno_planet >= wno_planet[i]) & (
                     wno_planet <= wno_planet[i + 1])
-                binned[i] = np.trapezoid(fine[sel], x=wno_planet[sel])
+                binned[i] = np.trapezoid(fine[sel], x=-1 / wno_planet[sel])
             if len(wno_planet) > 2:
                 slope = ((binned[-2] - binned[-3])
                          / (wno_planet[-2] - wno_planet[-3]))

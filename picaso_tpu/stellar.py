@@ -84,11 +84,15 @@ def _interp_logg(cols, logg):
 
 
 def get_stellar_spectrum(database, teff, metallicity, logg, cdbs=None):
-    """(wno [cm^-1], flux [erg/cm^2/s/cm^-1]) from a CDBS grid.
+    """(wno [cm^-1], flux [erg/cm^2/s/cm]) from a CDBS grid.
 
     Bilinear in (Teff, log g) at the nearest metallicity subgrid —
     the stsynphot Icat lookup re-done without astropy.  Output is
-    wavenumber-ordered in PICASO's native per-wavenumber flux.
+    wavenumber-ordered PER-WAVELENGTH flux — the convention every
+    stellar consumer shares with the reference (its synphot spectra
+    arrive as erg*cm^-3*s^-1, justdoit.py:1790): the fpfs ratio divides
+    the per-wavelength thermal flux, and the climate path integrates
+    over dlambda per bin.
     """
     mets = list_metallicities(database, cdbs)
     feh, subdir = min(mets, key=lambda t: abs(t[0] - float(metallicity)))
@@ -112,6 +116,5 @@ def get_stellar_spectrum(database, teff, metallicity, logg, cdbs=None):
     wave_cm = wave_a[keep] * 1e-8
     flam_per_cm = flux_a[keep] * 1e8          # erg/cm^2/s/A -> per cm
     wno = 1.0 / wave_cm
-    flux_per_wno = flam_per_cm * wave_cm ** 2  # F_nu~ = F_lam * lam^2
     order = np.argsort(wno)
-    return wno[order], flux_per_wno[order]
+    return wno[order], flam_per_cm[order]

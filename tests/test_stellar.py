@@ -84,16 +84,14 @@ def test_stellar_grid_interpolation(cdbs):
 
     wno, flux = get_stellar_spectrum('phoenix', 5100, 0.0, 4.25, cdbs=cdbs)
     assert np.all(np.diff(wno) > 0)
-    # teff midpoint (scale 1.5) x logg midpoint (1.5 flam) = 2.25 flam
-    # at per-wavenumber units: flam_cm * lam^2
-    lam = 1.0 / wno
-    np.testing.assert_allclose(flux, 2.25 * 1e8 * lam ** 2, rtol=1e-5)
+    # teff midpoint (scale 1.5) x logg midpoint (1.5 flam) = 2.25 flam,
+    # returned per-wavelength (erg/cm^2/s/A -> per cm is x1e8)
+    np.testing.assert_allclose(flux, 2.25 * 1e8, rtol=1e-5)
 
     # nearest metallicity + clipped logg
     wno2, flux2 = get_stellar_spectrum('phoenix', 5000, -0.4, 9.9,
                                        cdbs=cdbs)
-    np.testing.assert_allclose(flux2, 2.0 * 1e8 * (1 / wno2) ** 2,
-                               rtol=1e-5)
+    np.testing.assert_allclose(flux2, 2.0 * 1e8, rtol=1e-5)
 
 
 def test_star_database_gated():
