@@ -1054,9 +1054,16 @@ class inputs:
         if not has_pt:
             chem['chem_method'] = method
             return
-        mh = chem.get('mh', self.inputs['atmosphere'].get('mh', 0.0))
-        cto = chem.get('cto_absolute',
-                       self.inputs['atmosphere'].get('cto_absolute', 0.458))
+        # explicit None checks: the config tree carries these keys with
+        # None defaults, so dict.get(default) alone won't coalesce
+        mh = chem.get('mh')
+        if mh is None:
+            mh = self.inputs['atmosphere'].get('mh')
+        mh = 0.0 if mh is None else float(mh)
+        cto = chem.get('cto_absolute')
+        if cto is None:
+            cto = self.inputs['atmosphere'].get('cto_absolute')
+        cto = 0.458 if cto is None else float(cto)
         if '2121' in method:
             self.chemeq_visscher_2121(cto, mh)
         elif 'visscher' in method or '1060' in method:
