@@ -194,31 +194,39 @@ def measure_spectra_and_transit(nwno, n_iter):
                     n_iter)
     # batched-retrieval configuration: 8 scenes through forward_batch =
     # ONE dispatch (the production likelihood path; the reference farms
-    # these to MPI ranks).  Rate is per-spectrum.
+    # these to MPI ranks).  Rate is per-spectrum.  Isolated try: a
+    # failure here must not discard the already-measured headline.
     import jax
-    nb = 8
-    batches = [pipeline.stack_scenes(scenes[i * nb:(i + 1) * nb])
-               for i in range(max(1, (n_iter + 1) // nb))]
-    out = pipeline.forward_batch(batches[0], grid, config)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for b in batches:
-        out = pipeline.forward_batch(b, grid, config)
-    jax.block_until_ready(out)
-    roofline['batched8_spectra_per_s'] = round(
-        len(batches) * nb / (time.perf_counter() - t0), 2)
+    try:
+        nb = 8
+        batches = [pipeline.stack_scenes(scenes[i * nb:(i + 1) * nb])
+                   for i in range(max(1, (n_iter + 1) // nb))]
+        out = pipeline.forward_batch(batches[0], grid, config)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for b in batches:
+            out = pipeline.forward_batch(b, grid, config)
+        jax.block_until_ready(out)
+        roofline['batched8_spectra_per_s'] = round(
+            len(batches) * nb / (time.perf_counter() - t0), 2)
+        batches = out = None
+    except Exception as e:
+        roofline['batched8_error'] = f'{type(e).__name__}: {e}'[:160]
     if grid.log_kappa_blocked is not None:
         # int16 fixed-point table (opannection(blocked='int16')): halves
         # the gather stage's HBM traffic at ~1e-3 dex quantization error.
         # Drop the f32 blocked copy first so the quantization's
         # transpose temp + the int16 copy fit alongside the flat table.
-        import jax
-        grid = grid._replace(log_kappa_blocked=None)
-        gq = grid.with_blocked_table(quantize=True)
-        grid = None
-        jax.block_until_ready(gq.log_kappa_blocked)
-        roofline['quantized_spectra_per_s'] = round(_rate(
-            lambda s: pipeline.forward(s, gq, config), scenes, n_iter), 2)
+        try:
+            grid = grid._replace(log_kappa_blocked=None)
+            gq = grid.with_blocked_table(quantize=True)
+            grid = None
+            jax.block_until_ready(gq.log_kappa_blocked)
+            roofline['quantized_spectra_per_s'] = round(_rate(
+                lambda s: pipeline.forward(s, gq, config), scenes,
+                n_iter), 2)
+        except Exception as e:
+            roofline['quantized_error'] = f'{type(e).__name__}: {e}'[:160]
     return headline, transit, roofline
 
 
