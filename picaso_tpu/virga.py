@@ -339,8 +339,9 @@ class Atmosphere:
 
     ``param`` selects the sedimentation-efficiency profile: 'const'
     (fsed constant) or 'exp' (fsed(z) = (fsed - eps) exp((z -
-    z_alpha)/b) + eps, the Rooney+2022 variable-fsed form virga 2.0
-    implements; z_alpha set by ``alpha_pressure`` in :meth:`ptk`).
+    z_alpha)/beta) + eps, the Rooney+2022 variable-fsed form virga 2.0
+    implements; z_alpha set by ``alpha_pressure`` in :meth:`ptk`, and
+    beta = b * H(z_alpha) with ``b`` in SCALE HEIGHTS, so b ~ O(1)).
     """
 
     def __init__(self, condensates, fsed=1.0, mh=1.0, mmw=2.2, sig=2.0,
