@@ -254,6 +254,7 @@ class GridFitter:
         return w / w.sum()
 
     def best_fit(self, grid_name, data_name):
+        self._use(grid_name)
         res = self.fit_results[grid_name][data_name]
         i = res['best_fit_index']
         out = {'index': i, 'chi_sq': res['chi_sq'][i],
@@ -265,6 +266,7 @@ class GridFitter:
 
     def parameter_posteriors(self, grid_name, data_name, parameter):
         """Marginalized posterior over one grid parameter."""
+        self._use(grid_name)
         res = self.fit_results[grid_name][data_name]
         w = res['posterior_weights']
         vals = np.asarray(self.grid_params[parameter], dtype=float)
@@ -280,6 +282,7 @@ class GridFitter:
 
         Returns {parameter: best value} at the lowest-chi2 grid member.
         """
+        self._use(grid_name)
         res = self.fit_results[grid_name][data_name]
         i = res['best_fit_index']
         best_fits = {}

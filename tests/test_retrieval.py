@@ -603,3 +603,37 @@ def test_conv_non_uniform_R_matches_loop():
 
     # smoothing: convolved spectrum has less variance than the model
     assert np.var(np.asarray(out)) < np.var(flux)
+
+
+def test_grid_fitter_multi_grid_readback(tmp_path):
+    """best_fit/posteriors re-point at the named grid after another
+    add_grid (regression: flat attrs stayed on the last-loaded grid)."""
+    import h5py
+
+    wno = np.linspace(1000, 10000, 80)
+    ta = np.array([500.0, 900.0])
+    fitter = GridFitter(
+        'a', models={'wavenumber': wno,
+                     'spectra': np.array([t * (1 + 0.2 * np.sin(wno / 900))
+                                          for t in ta])},
+        grid_parameters=pd.DataFrame({'teff': ta}), verbose=False)
+
+    gdir = tmp_path / 'gb'
+    gdir.mkdir()
+    tb = np.array([100.0, 200.0, 300.0])
+    for i, t in enumerate(tb):
+        with h5py.File(str(gdir / f'm{i}.h5'), 'w') as f:
+            g = f.create_group('spectra')
+            g['wavenumber'] = wno
+            g['fpfs_thermal'] = np.full(80, t)
+            f.attrs['mass'] = t
+    fitter.add_grid('b', str(gdir))
+
+    wl = 1e4 / np.linspace(1500, 9500, 30)
+    y = np.interp(1e4 / wl, wno, ta[1] * (1 + 0.2 * np.sin(wno / 900)))
+    fitter.fit_grid('a', 'obs', wl, y, y * 0 + 5.0)
+    # after loading grid b, reading grid a must still see a's params
+    best = fitter.best_fit('a', 'obs')
+    assert best['parameters']['teff'] == 900.0
+    vals, _ = fitter.parameter_posteriors('a', 'obs', 'teff')
+    assert set(vals) == {500.0, 900.0}
