@@ -454,11 +454,15 @@ def main():
     except Exception:
         vs_baseline = float('nan')
 
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = 'backend-unavailable'
     print(json.dumps({
         'metric': '1D reflected+thermal spectra/sec at production table '
                   f'shape (1060-pt ragged PT grid, 16 molecules, '
                   f'nwno={nwno_used}, nlevel={NLEVEL}, '
-                  f'{jax.devices()[0].platform})',
+                  f'{platform})',
         'value': round(rate, 4) if rate is not None else None,
         'unit': 'spectra/s',
         'vs_baseline': (round(vs_baseline, 2)
