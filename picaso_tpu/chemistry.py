@@ -190,3 +190,38 @@ def quench_levels(pressure_bar, temp, dtdp, kz, mmw_layer, scale_height,
                 out[name] = int(min(j, nlevel - 2))
                 break
     return out, t_mix
+
+
+def run_vulcan(pressure, temp, kz, grav, atm_dir='vulcan/atm'):
+    """VULCAN kinetics interop (deq_chem.py:628): write the T-P-Kzz
+    profile VULCAN expects and drive one solver pass, returning its
+    output pickle path.  Gated on the external ``vulcan`` package being
+    importable from the caller's environment, mirroring the reference's
+    module-scope import requirement.  pressure [bar], kz [cm^2/s],
+    grav [m/s^2]."""
+    import os
+    try:
+        import vulcan_cfg  # noqa: F401  (VULCAN configures via module)
+        from vulcan import build_atm, op, store  # noqa: F401
+    except ImportError as err:
+        raise ImportError(
+            'run_vulcan needs the external VULCAN package on sys.path '
+            '(https://github.com/exoclime/VULCAN); install it and run '
+            'from the VULCAN root directory') from err
+    os.makedirs(atm_dir, exist_ok=True)
+    prof = np.transpose([np.asarray(pressure) * 1e6, np.asarray(temp),
+                         np.asarray(kz)])
+    path = os.path.join(atm_dir, 'tpkzz.txt')
+    np.savetxt(path, prof)
+    vulcan_cfg.atm_file = path
+    vulcan_cfg.use_solar = True
+    vulcan_cfg.ini_mix = 'EQ'
+    vulcan_cfg.use_photo = False
+    vulcan_cfg.nz = len(pressure)
+    vulcan_cfg.P_b = float(np.max(prof[:, 0]))
+    vulcan_cfg.P_t = float(np.min(prof[:, 0]))
+    vulcan_cfg.gs = float(grav) * 100.0
+    vulcan_cfg.use_live_plot = False
+    import vulcan
+    vulcan.main()
+    return getattr(vulcan_cfg, 'out_name', None)

@@ -2257,6 +2257,52 @@ def output_xarray(df, case, add_output=None, savefile=None, **kwargs):
     return save_model(savefile, case, df, meta=add_output or {})
 
 
+def check_units(unit):
+    """Return u.Unit(unit) if parseable, else None (justdoit.py:657)."""
+    try:
+        return u.Unit(unit)
+    except ValueError:
+        return None
+
+
+def find_press(at_tau, a, b, c):
+    """Pressure where the cumulative tau column crosses ``at_tau``
+    (justdoit.py:1290: per-wavelength interp of the [nlayer, nwno] tau
+    matrix ``a`` onto pressures ``c``).  ``b`` is nwno, kept for call
+    compatibility."""
+    a = np.asarray(a)
+    c = np.asarray(c)
+    return [float(np.interp(at_tau, a[:, iw], c)) for iw in range(b)]
+
+
+def merge_xarrays(ds1, ds2):
+    """Merge two spectrum output dicts that differ only in wavelength
+    coverage — e.g. the same model run against two opacity files for two
+    bands (parity for justdoit.py:664 merge_xarrays, which does this on
+    the xarray outputs).  Wavelength-axis arrays (anything shaped like
+    'wavenumber') are concatenated and sorted by wavenumber with ds1
+    winning on overlap; every non-spectral key comes from ds1.
+    """
+    if 'wavenumber' not in ds1 or 'wavenumber' not in ds2:
+        raise ValueError("both outputs need a 'wavenumber' axis")
+    w1 = np.asarray(ds1['wavenumber'], np.float64)
+    w2 = np.asarray(ds2['wavenumber'], np.float64)
+    keep2 = ~np.isin(w2, w1)
+    wno = np.concatenate([w1, w2[keep2]])
+    order = np.argsort(wno)
+    merged = dict(ds1)
+    merged['wavenumber'] = wno[order]
+    for key, v1 in ds1.items():
+        if key == 'wavenumber' or not isinstance(v1, np.ndarray):
+            continue
+        v2 = ds2.get(key)
+        if v1.shape[-1:] == w1.shape and isinstance(v2, np.ndarray) \
+                and v2.shape[-1:] == w2.shape:
+            cat = np.concatenate([v1, v2[..., keep2]], axis=-1)
+            merged[key] = cat[..., order]
+    return merged
+
+
 def input_xarray(filename, opannection=None, **kwargs):
     """Rebuild an inputs bundle from a stored model (justdoit.py:979).
 

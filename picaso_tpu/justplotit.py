@@ -24,7 +24,9 @@ __all__ = ['spectrum', 'pt', 'mixing_ratio', 'photon_attenuation',
            'spectrum_hires', 'flux_at_top', 'plot_evolution',
            'all_optics_1d', 'heatmap_taus', 'create_heat_map',
            'rt_heatmap', 'thermal_contribution', 'molecule_contribution',
-           'transmission_contribution', 'phase_snaps']
+           'transmission_contribution', 'phase_snaps',
+           'find_nearest_1d', 'find_nearest_2d', 'find_nearest_old',
+           'lon_lat_to_cartesian']
 
 
 def _fig(**kw):
@@ -660,3 +662,35 @@ def explore(df, key):
 def numba_cumsum(mat):
     """Axis-0 cumulative sum (API-parity shim for fluxes.py:872)."""
     return np.cumsum(mat, axis=0)
+
+
+def lon_lat_to_cartesian(lon_r, lat_r, R=1):
+    """(lon, lat) radians on a sphere of radius R -> (x, y, z)
+    (justplotit.py:682)."""
+    x = R * np.cos(lat_r) * np.cos(lon_r)
+    y = R * np.cos(lat_r) * np.sin(lon_r)
+    z = R * np.sin(lat_r)
+    return x, y, z
+
+
+def find_nearest_old(array, value):
+    """Row index of the nearest value along axis 0 (justplotit.py:843)."""
+    return np.abs(np.asarray(array) - value).argmin(axis=0)
+
+
+def find_nearest_1d(array, value):
+    """Index of the nearest element, resolving ties in favor of the LAST
+    occurrence of a duplicated value (justplotit.py:861 semantics: useful
+    for monotone-with-plateaus profiles like tau columns)."""
+    arr = np.asarray(array)
+    uniq, first, counts = np.unique(arr, return_index=True,
+                                    return_counts=True)
+    k = np.abs(uniq - value).argmin(axis=0)
+    return first[k] + (counts[k] - 1) if counts[k] > 1 else first[k]
+
+
+def find_nearest_2d(array, value, axis=1):
+    """Per-column nearest-element indices with the same last-duplicate
+    tie-break as :func:`find_nearest_1d` (justplotit.py:848)."""
+    arr = np.asarray(array)
+    return [find_nearest_1d(arr[:, i], value) for i in range(arr.shape[axis])]

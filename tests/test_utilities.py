@@ -270,3 +270,35 @@ def test_pressure_grid_chemistry_handler_interpret_run(capsys):
     case.interpret_run()
     out = capsys.readouterr().out
     assert 'SUMMARY' in out and 'chem_method' in out
+
+
+def test_api_long_tail_helpers():
+    """merge_xarrays / check_units / find_press / justplotit nearest
+    helpers (justdoit.py:657/664/1290, justplotit.py:682-872)."""
+    # merge two band-limited outputs, ds1 wins on overlap
+    d1 = {'wavenumber': np.array([100., 200., 300.]),
+          'albedo': np.array([.1, .2, .3]), 'full_output': {'k': 1}}
+    d2 = {'wavenumber': np.array([200., 250., 350.]),
+          'albedo': np.array([.9, .25, .35])}
+    m = jdi.merge_xarrays(d1, d2)
+    np.testing.assert_allclose(m['wavenumber'],
+                               [100., 200., 250., 300., 350.])
+    np.testing.assert_allclose(m['albedo'], [.1, .2, .25, .3, .35])
+    assert m['full_output'] == {'k': 1}
+
+    assert jdi.check_units('cm') is not None
+    assert jdi.check_units('not-a-unit') is None
+
+    tau = np.array([[0.1, 0.2], [1.0, 0.5], [10., 3.]])
+    press = np.array([1e-3, 1e-1, 1e1])
+    at = jdi.find_press(1.0, tau, 2, press)
+    assert at[0] == pytest.approx(0.1)
+    assert 0.1 < at[1] < 10.0
+
+    arr = np.array([3., 1., 2., 2., 5.])
+    assert jpi.find_nearest_1d(arr, 2.1) == 3    # last duplicate wins
+    assert jpi.find_nearest_old(arr, 2.1) == 2   # plain argmin
+    mat = np.array([[1., 4.], [2., 2.], [2., 9.]])
+    assert list(jpi.find_nearest_2d(mat, 2.0)) == [2, 1]
+    x, y, z = jpi.lon_lat_to_cartesian(np.pi / 2, 0.0)
+    assert x == pytest.approx(0.0, abs=1e-12) and y == pytest.approx(1.0)
