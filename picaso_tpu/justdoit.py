@@ -398,7 +398,16 @@ class inputs:
     # -- atmosphere --------------------------------------------------------
     def atmosphere(self, df=None, filename=None, exclude_mol=None,
                    verbose=True, photochem_init_args=None,
-                   photochem_TOA_pressure=1e-7 * 1e6, **pd_kwargs):
+                   photochem_TOA_pressure=1e-7 * 1e6, mh=None,
+                   cto_relative=None, cto_absolute=None, chem_method=None,
+                   **pd_kwargs):
+        # chemistry knobs (justdoit.py:2043-2117): mh is LINEAR
+        # metallicity (1.0 = solar); a chem_method triggers the grid
+        # chemistry once the PT profile is bound below
+        for key, val in (('mh', mh), ('cto_relative', cto_relative),
+                         ('cto_absolute', cto_absolute)):
+            if val is not None:
+                self.inputs['atmosphere'][key] = float(val)
         if photochem_init_args is not None:
             # stored for photochem_init (justdoit.py:2058-2060)
             photochem_init_args = dict(photochem_init_args)
@@ -425,6 +434,8 @@ class inputs:
             full.update({m: 0 for m in np.atleast_1d(exclude_mol)}
                         if not isinstance(exclude_mol, dict) else exclude_mol)
             self.inputs['atmosphere']['exclude_mol'] = full
+        if chem_method is not None:
+            self.chemistry_handler(chem_method)
 
     def atmosphere_3d(self, data, verbose=True):
         """3D GCM input: a NetCDF path / decoded NCDataset (the
@@ -796,9 +807,12 @@ class inputs:
                  alpha_pressure=alpha_pressure)
         out = vj.compute(atmo, directory=directory,
                          do_virtual=do_virtual, solver=solver)
+        # pressure + wavenumber columns together make clouds() honor the
+        # solver's actual wave grid (mieff grids need not be 196/661-pt)
         df_cld = vj.picaso_format(out['opd_per_layer'],
                                   out['single_scattering'],
                                   out['asymmetry'],
+                                  pressure=out['pressure'],
                                   wavenumber=1e4 / out['wave'])
         self.clouds(df=df_cld)
         return out if full_output else df_cld
@@ -1055,19 +1069,26 @@ class inputs:
             chem['chem_method'] = method
             return
         # explicit None checks: the config tree carries these keys with
-        # None defaults, so dict.get(default) alone won't coalesce
+        # None defaults, so dict.get(default) alone won't coalesce.
+        # 'mh' is LINEAR metallicity everywhere it is stored (reference
+        # justdoit.py:2044/2112 — log10 applied at the grid lookup);
+        # the 1060 grid takes C/O relative to solar, 2121 absolute.
         mh = chem.get('mh')
         if mh is None:
             mh = self.inputs['atmosphere'].get('mh')
-        mh = 0.0 if mh is None else float(mh)
-        cto = chem.get('cto_absolute')
-        if cto is None:
-            cto = self.inputs['atmosphere'].get('cto_absolute')
-        cto = 0.458 if cto is None else float(cto)
+        log_mh = 0.0 if mh is None else float(np.log10(mh))
         if '2121' in method:
-            self.chemeq_visscher_2121(cto, mh)
+            cto = chem.get('cto_absolute')
+            if cto is None:
+                cto = self.inputs['atmosphere'].get('cto_absolute')
+            cto = 0.458 if cto is None else float(cto)
+            self.chemeq_visscher_2121(cto, log_mh)
         elif 'visscher' in method or '1060' in method:
-            self.chemeq_visscher_1060(cto, mh)
+            cto = chem.get('cto_relative')
+            if cto is None:
+                cto = self.inputs['atmosphere'].get('cto_relative')
+            cto = 1.0 if cto is None else float(cto)
+            self.chemeq_visscher_1060(cto, log_mh)
         elif method and method != 'None':
             raise ValueError(f'unknown chem_method {method!r}')
 
@@ -1955,8 +1976,9 @@ def _nearest_grid_file(directory, pattern_prefix, log_mh, cto):
         if not m:
             continue
         try:
-            feh = _decode_grid_float(m.group(1).lstrip('+'))
-            co = _decode_grid_float(m.group(2))
+            # rstrip the dot the regex grabs from the '.txt' suffix
+            feh = _decode_grid_float(m.group(1).lstrip('+').rstrip('.'))
+            co = _decode_grid_float(m.group(2).rstrip('.'))
         except ValueError:
             continue
         d = (feh - log_mh) ** 2 + (co - cto) ** 2
@@ -1981,11 +2003,14 @@ class _ChemGridMixin:
         grid = chem_mod.chem_grid_from_table(table)
         self._apply_chem_grid(grid)
 
-    def chemeq_visscher_1060(self, cto_absolute=1.0, log_mh=0.0):
+    def chemeq_visscher_1060(self, cto_relative=1.0, log_mh=0.0):
         """Visscher 1060-grid equilibrium chemistry (justdoit.py:3028).
 
-        Grids resolve through $picaso_refdata/chemistry/visscher_grid_1060
-        (full set) or the bundled solar-composition file.
+        ``cto_relative`` is the C/O ratio as a FACTOR of solar (0.458,
+        Lodders 2010) — the convention the 1060 grid filenames encode
+        (co_05..co_25 = 0.5x..2.5x; justdoit.py:3041).  Grids resolve
+        through $picaso_refdata/chemistry/visscher_grid_1060 (full set)
+        or the bundled solar-composition file.
         """
         from . import chemistry as chem_mod
         from .refdata import external_refdata
@@ -1994,7 +2019,7 @@ class _ChemGridMixin:
                      if ext else None)
         if directory and os.path.isdir(directory):
             fn = _nearest_grid_file(directory, '2015_06_1060grid',
-                                    log_mh, cto_absolute)
+                                    log_mh, cto_relative)
         else:
             fn = refdata_path('chemistry',
                               '2015_06_1060grid_feh_00_co_10.txt')
@@ -2060,17 +2085,24 @@ class _ChemGridMixin:
     def chemeq_3d(self, c_o=None, log_mh=0.0, cto_absolute=0.55, n_cpu=1):
         """Visscher equilibrium chemistry on every 3D column
         (justdoit.py:3590); same grid-file resolution as
-        chemeq_visscher_1060 (external set or bundled solar file)."""
+        chemeq_visscher_1060 (external set or bundled solar file).
+
+        The 1060 grid filenames encode C/O RELATIVE to solar, so the
+        absolute input converts via the reference's solar value 0.55
+        (justdoit.py:3608); ``c_o`` is already the relative factor.
+        """
         from . import chemistry as chem_mod
         from .refdata import external_refdata
         if isinstance(c_o, (int, float)):
-            cto_absolute = c_o * 0.55
+            cto_relative = float(c_o)
+        else:
+            cto_relative = float(cto_absolute) / 0.55
         ext = external_refdata()
         directory = (os.path.join(ext, 'chemistry', 'visscher_grid_1060')
                      if ext else None)
         if directory and os.path.isdir(directory):
             fn = _nearest_grid_file(directory, '2015_06_1060grid',
-                                    log_mh, cto_absolute)
+                                    log_mh, cto_relative)
         else:
             fn = refdata_path('chemistry',
                               '2015_06_1060grid_feh_00_co_10.txt')
@@ -2134,7 +2166,13 @@ class _ChemGridMixin:
         if chem == 'low':
             self.channon_grid_low()
         elif chem == 'grid':
-            self.chemeq_visscher_1060(cto_absolute=0.458, log_mh=0.0)
+            # reference (justdoit.py:2833) runs the 2121 bobcat grid at
+            # solar; fall back to the bundled solar 1060 file when the
+            # downloaded 2121 set is absent
+            try:
+                self.chemeq_visscher_2121(cto_absolute=0.458, log_mh=0.0)
+            except FileNotFoundError:
+                self.chemeq_visscher_1060(cto_relative=1.0, log_mh=0.0)
 
 
 # bind the chemistry-grid methods onto inputs

@@ -681,7 +681,10 @@ def find_nearest_old(array, value):
 def find_nearest_1d(array, value):
     """Index of the nearest element, resolving ties in favor of the LAST
     occurrence of a duplicated value (justplotit.py:861 semantics: useful
-    for monotone-with-plateaus profiles like tau columns)."""
+    for monotone-with-plateaus profiles like tau columns).  As in the
+    reference, the last-duplicate arithmetic assumes duplicates are
+    CONTIGUOUS (first_index + count - 1); on non-monotone data with
+    repeats scattered apart both give the same wrong answer."""
     arr = np.asarray(array)
     uniq, first, counts = np.unique(arr, return_index=True,
                                     return_counts=True)

@@ -622,7 +622,9 @@ def reflected_sh(props, surf_reflect, ubar0, ubar1, cos_theta, F0PI,
     a = jnp.stack([(2 * l + 1) - w0 * w_multi[l] for l in range(stream)])
     # beam sources for every angle: b[l] has shape [nr, nlayer, nwno]
     Pu0s = legP(-u0s[:, None, None])
-    b = jnp.stack([(F0PI * (w0 * w_multi[l]))[None] * Pu0s[l] / (4 * PI)
+    # NB: the beam source expands in the SINGLE-scattering moments while
+    # the sink term a uses the multi-scattering ones (fluxes.py:2859-2860)
+    b = jnp.stack([(F0PI * (w0 * w_single[l]))[None] * Pu0s[l] / (4 * PI)
                    for l in range(stream)])
     b_surface = (0.0 + surf_reflect * u0s[:, None] * F0PI
                  * jnp.exp(-tau[-1][None] / u0s[:, None]))   # [nr, nw]

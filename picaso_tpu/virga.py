@@ -523,7 +523,9 @@ def _layer(atmo, gas, q_below, ilay, rho_p, gas_mw, max_nsub=64, rtol=1e-2):
         for _ in range(nsub):
             p_t = p_b - dp
             p_mid = 0.5 * (p_b + p_t)
-            t_mid = t_bot + np.log(p_bot / p_mid) * dtdlnp
+            # dtdlnp = dT/dlnP > 0 when hotter below, so going UP from
+            # the layer bottom (p_mid < p_bot) must cool: ln(p_mid/p_bot)<0
+            t_mid = t_bot + np.log(p_mid / p_bot) * dtdlnp
             h_mid = R_GAS * t_mid / (atmo.mmw * grav)
             dz_sub = h_mid * np.log(p_b / p_t)
             z_t = z_b + dz_sub
@@ -694,15 +696,27 @@ def compute(atmo: Atmosphere, directory=None, as_dict=True,
     p_layer_dyne = atmo.p_layer * 1e6
 
     base_radii, base_dr = get_r_grid()
-    # wave grid: the mieff table's if one exists, else the 196-pt EGP grid
-    wave_um = None
+    # ONE common wave grid for every condensate: the first .mieff
+    # table's if any gas has one, else the 196-pt EGP grid; per-gas
+    # tables on a different grid are interpolated onto it so the
+    # ext/scat/cos sums never mix grids
+    mies = {gas: _load_gas_mieff(gas, directory)
+            for gas in atmo.condensates}
+    wave_um = next((m['wave_um'] for m in mies.values() if m is not None),
+                   None)
+    if wave_um is None:
+        wave_um = 1e4 / get_cld_input_grid()[::-1]
     gas_tables = {}
     for gas in atmo.condensates:
-        mie = _load_gas_mieff(gas, directory)
-        tabs = _q_tables(mie, base_radii, wave_um if wave_um is not None
-                         else 1e4 / get_cld_input_grid()[::-1])
-        if wave_um is None:
-            wave_um = tabs[5]
+        tabs = _q_tables(mies[gas], base_radii, wave_um)
+        if tabs[5].shape != wave_um.shape or not np.allclose(tabs[5],
+                                                             wave_um):
+            order = np.argsort(tabs[5])
+            src = tabs[5][order]
+            tabs = tuple(
+                np.stack([np.interp(wave_um, src, t[i][order])
+                          for i in range(t.shape[0])])
+                for t in tabs[:3]) + tabs[3:5] + (wave_um,)
         gas_tables[gas] = tabs
     nwave = len(wave_um)
 
@@ -872,7 +886,9 @@ def picaso_format(opd, w0, g0, pressure=None, wavenumber=None):
                        'w0': np.asarray(w0).ravel(),
                        'g0': np.asarray(g0).ravel()})
     if wavenumber is not None:
-        df['wavenumber'] = np.tile(np.sort(np.asarray(wavenumber)), nl)
+        # label each row with the wavenumber of ITS column — sorting the
+        # labels here would misalign them with the data
+        df['wavenumber'] = np.tile(np.asarray(wavenumber), nl)
     if pressure is not None:
         df['pressure'] = np.repeat(np.asarray(pressure), nw)
     return df

@@ -183,7 +183,7 @@ def test_chemeq_3d_vectorized():
         'pressure': data['pressure'],
         'temperature': data['temperature'][:, 6, 3]}))
     df1 = None
-    case1.chemeq_visscher_1060(cto_absolute=0.55, log_mh=0.0)
+    case1.chemeq_visscher_1060(cto_relative=0.55 / 0.55, log_mh=0.0)
     df1 = case1.inputs['atmosphere']['profile']
     np.testing.assert_allclose(out['CH4'][:, 6, 3], df1['CH4'],
                                rtol=2e-5)

@@ -5,6 +5,7 @@ import matplotlib
 
 matplotlib.use('Agg')
 
+import os
 import numpy as np
 import pandas as pd
 import pytest
@@ -302,3 +303,47 @@ def test_api_long_tail_helpers():
     assert list(jpi.find_nearest_2d(mat, 2.0)) == [2, 1]
     x, y, z = jpi.lon_lat_to_cartesian(np.pi / 2, 0.0)
     assert x == pytest.approx(0.0, abs=1e-12) and y == pytest.approx(1.0)
+
+
+def test_atmosphere_chem_kwargs_linear_mh(monkeypatch, tmp_path):
+    """atmosphere(mh=..., chem_method=...) stores LINEAR metallicity and
+    the grid lookup applies log10 + the relative-C/O convention
+    (justdoit.py:2044/2112): mh=10 (10x solar) must select a feh_10
+    grid file, not feh_00 — and certainly not a 'log_mh=10' one."""
+    import picaso_tpu.refdata as refdata_mod
+
+    ref = '/root/reference/reference'
+    if not os.path.isdir(os.path.join(ref, 'chemistry',
+                                      'visscher_grid_1060')):
+        pytest.skip('reference 1060 grid set unavailable')
+    monkeypatch.setenv('picaso_refdata', ref)
+
+    picked = {}
+    real = jdi._nearest_grid_file
+
+    def spy(directory, prefix, log_mh, cto):
+        out = real(directory, prefix, log_mh, cto)
+        picked['file'] = os.path.basename(out)
+        picked['log_mh'] = log_mh
+        return out
+
+    monkeypatch.setattr(jdi, '_nearest_grid_file', spy)
+    pr = np.logspace(-6, 2, 20)
+    case = jdi.inputs()
+    case.atmosphere(df=pd.DataFrame({
+        'pressure': pr, 'temperature': 1100 * (pr / 10) ** 0.1}),
+        mh=10.0, cto_relative=1.0, chem_method='visscher_1060')
+    assert picked['log_mh'] == pytest.approx(1.0)
+    assert 'feh_10' in picked['file'] and '_co_10' in picked['file']
+    assert 'CH4' in case.inputs['atmosphere']['profile'].columns
+
+
+def test_nearest_grid_file_2121_decode():
+    """The 2121 filename decode ('feh-0.3_co0.14') must survive the
+    trailing '.txt' dot (regression: every file was skipped)."""
+    d = '/root/reference/reference/chemistry/visscher_grid_2121'
+    if not os.path.isdir(d):
+        pytest.skip('reference 2121 grid set unavailable')
+    f = os.path.basename(jdi._nearest_grid_file(d, 'sonora_2121grid',
+                                                0.0, 0.458))
+    assert 'feh0.0' in f and 'co0.46' in f

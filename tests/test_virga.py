@@ -210,3 +210,55 @@ def test_virga_3d(tmp_path):
     assert cld['opd'].max() > 0
     # columns differ because their temperatures differ
     assert not np.allclose(cld['opd'][..., 0, 0], cld['opd'][..., 2, 0])
+
+
+def test_sublayer_temperature_follows_lapse():
+    """Sub-layer refinement must COOL going up through a layer that is
+    hotter below (the dtdlnp sign regression).  The layer spans
+    ~900-926 K where KCl qvs crosses the 5e-3 entry mixing ratio: with
+    the correct sign the upper sublayers drop below saturation and
+    condense; with the inverted sign every t_mid lands in (926, 951) K
+    where qvs > qt, so nothing condenses and qt passes unchanged."""
+    nlevel = 41
+    pressure = np.logspace(-4, 2, nlevel)
+    t_prof = 1565.0 * (pressure / pressure[-1]) ** 0.08
+    atmo = vj.Atmosphere('KCl', fsed=10.0, mmw=MMW)
+    atmo.gravity = GRAV
+    atmo.ptk(df=pd.DataFrame({'pressure': pressure,
+                              'temperature': t_prof,
+                              'kz': np.zeros(nlevel) + 1e9}))
+    gas_mw, rho_p = vj.GAS_PROPERTIES['KCl']
+    q_below = 5e-3
+    qc_l, qt_l, q_above = vj._layer(atmo, 'KCl', q_below, 20, rho_p,
+                                    gas_mw)
+    assert qc_l > 0.0
+    assert q_above < 0.8 * q_below
+
+
+def test_mixed_mieff_and_fallback_share_one_wave_grid(tmp_path):
+    """Two condensates where only one has a .mieff file must co-add
+    optics on ONE wave grid (the mieff table's), not crash or silently
+    sum arrays sampled on different grids."""
+    nw, nr = 7, 10
+    wave = np.linspace(0.4, 6, nw)
+    radii = np.logspace(-6, -3, nr)
+    lines = [f'{nw} {nr}']
+    for r in radii:
+        lines.append(f'{r:.6e}')
+        for w in wave:
+            lines.append(f'{w:.4f} 1.0 2.0 1.6')
+    (tmp_path / 'MgSiO3.mieff').write_text('\n'.join(lines))
+
+    nlevel = 41
+    pressure = np.logspace(-4, 2, nlevel)
+    atmo = vj.Atmosphere(['H2O', 'MgSiO3'], fsed=1.0, mmw=MMW)
+    atmo.gravity = GRAV
+    atmo.ptk(df=pd.DataFrame({
+        'pressure': pressure,
+        'temperature': 300.0 * (pressure / pressure[-1]) ** 0.05,
+        'kz': np.zeros(nlevel) + 1e9}))
+    out = vj.compute(atmo, directory=str(tmp_path))
+    assert out['opd_per_layer'].shape == (nlevel - 1, nw)
+    assert np.isfinite(out['opd_per_layer']).all()
+    np.testing.assert_allclose(np.sort(1e4 / out['wave']),
+                               np.sort(1e4 / wave), rtol=1e-3)
