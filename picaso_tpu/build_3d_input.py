@@ -16,6 +16,28 @@ __all__ = ['regrid_xarray', 'regrid_to_gauss_cheby', 'rebin_mitgcm_pt',
            'rebin_mitgcm_cld', 'make_3d_pt_input', 'make_3d_cld_input']
 
 
+def _wrap_longitude(src_lon, lon_t, vals, lon_axis=-2):
+    """Periodic-longitude handling for a global source grid.
+
+    GCM grids commonly span [0, 360) while disco facet longitudes come
+    out of make_geometry in [-180, 180]: map the targets into the
+    source's window modulo 360 and append a wrap column (src_lon[0]+360,
+    data of column 0) so interpolation crosses the anti-meridian instead
+    of clamping to the seam edge (the reference's xesmf path is periodic,
+    build_3d_input.py:12).  Limited-area grids (span well below 360) are
+    left alone.  Returns (src_lon, lon_t, vals)."""
+    src_lon = np.asarray(src_lon, float)
+    lon_t = np.asarray(lon_t, float)
+    step = np.median(np.abs(np.diff(src_lon))) if len(src_lon) > 1 else 0.0
+    if 360.0 - (src_lon.max() - src_lon.min()) > 2.5 * step:
+        return src_lon, lon_t, vals            # not a global grid
+    lon_t = src_lon.min() + np.mod(lon_t - src_lon.min(), 360.0)
+    src_lon = np.concatenate([src_lon, src_lon[:1] + 360.0])
+    first = np.take(vals, [0], axis=lon_axis)
+    vals = np.concatenate([vals, first], axis=lon_axis)
+    return src_lon, lon_t, vals
+
+
 def regrid_xarray(dataset, num_gangle=None, num_tangle=None,
                   phase_angle=None, latitude=None, longitude=None):
     """Regrid a GCM dataset onto disco facet coordinates
@@ -64,13 +86,15 @@ def regrid_xarray(dataset, num_gangle=None, num_tangle=None,
         lat_ax = next(i for i, d in enumerate(dims)
                       if d in ('lat', 'latitude'))
         vals = np.moveaxis(vals, (lon_ax, lat_ax), (-2, -1))
-        idx_hi_lon = np.clip(np.searchsorted(src_lon, out['longitude']),
-                             1, len(src_lon) - 1)
+        src_lon_v, lon_tgt, vals = _wrap_longitude(src_lon,
+                                                   out['longitude'], vals)
+        idx_hi_lon = np.clip(np.searchsorted(src_lon_v, lon_tgt),
+                             1, len(src_lon_v) - 1)
         idx_hi_lat = np.clip(np.searchsorted(src_lat, out['latitude']),
                              1, len(src_lat) - 1)
         lo_lon, lo_lat = idx_hi_lon - 1, idx_hi_lat - 1
-        w_lon = np.clip((out['longitude'] - src_lon[lo_lon])
-                        / (src_lon[idx_hi_lon] - src_lon[lo_lon]), 0, 1)
+        w_lon = np.clip((lon_tgt - src_lon_v[lo_lon])
+                        / (src_lon_v[idx_hi_lon] - src_lon_v[lo_lon]), 0, 1)
         w_lat = np.clip((out['latitude'] - src_lat[lo_lat])
                         / (src_lat[idx_hi_lat] - src_lat[lo_lat]), 0, 1)
         c_ll = vals[..., lo_lon[:, None], lo_lat[None, :]]
@@ -98,6 +122,7 @@ def regrid_to_gauss_cheby(lat, lon, cube, num_gangle=10, num_tangle=10,
     lat = np.asarray(lat)
     lon = np.asarray(lon)
     cube = np.asarray(cube)
+    lon, lon_t, cube = _wrap_longitude(lon, lon_t, cube)
 
     def interp1(grid, targets, axis_vals):
         idx_hi = np.clip(np.searchsorted(axis_vals, targets), 1,

@@ -299,9 +299,12 @@ class _ClimateState:
                  alpha_pressure=vkw.get('alpha_pressure'))
         out = vj.compute(atmo, directory=directory,
                          do_virtual=vkw.get('do_virtual', False))
+        # carry the solver's wave grid so build_props_host regrids from
+        # the TRUE source coordinates (mieff grids need not be 196-pt)
         return vj.picaso_format(out['opd_per_layer'],
                                 out['single_scattering'],
-                                out['asymmetry']), out
+                                out['asymmetry'],
+                                wavenumber=1e4 / out['wave']), out
 
     def _mmw_layer(self, df):
         from .. import molmass
@@ -324,10 +327,16 @@ class _ClimateState:
             nlayer = len(profile_df['pressure']) - 1
             wno = np.asarray(self.ck.wno)
             cld = {}
+            if 'wavenumber' in cld_df:
+                src_wno = np.reshape(np.asarray(cld_df['wavenumber']),
+                                     (nlayer, -1))[0]
+            else:
+                src_wno = get_cld_input_grid()
             for k in ('opd', 'g0', 'w0'):
                 m = np.reshape(np.asarray(cld_df[k]), (nlayer, -1))
-                if m.shape[1] != len(wno):
-                    m = regrid_rows(m, get_cld_input_grid(), wno)
+                if m.shape[1] != len(wno) or not np.allclose(
+                        src_wno, wno):
+                    m = regrid_rows(m, src_wno, wno)
                 cld[k] = m.ravel()
 
         kappa_fn = None

@@ -692,9 +692,14 @@ class inputs:
                                        {'initial_guess': None})
         mh = float(self.inputs['atmosphere'].get('mh') or 1.0)
         cto = float(self.inputs['atmosphere'].get('cto_relative') or 1.0)
+        # warm start: this session's last steady state, else the newest
+        # record restored from pc's save_file (cross-process resume)
+        guess = store.get('initial_guess')
+        if guess is None:
+            guess = getattr(pc, 'initial_guess', None)
         df = pc.run_for_picaso(self.inputs['atmosphere']['profile'],
                                np.log10(mh), cto, kz,
-                               df_comp_guess=store.get('initial_guess'))
+                               df_comp_guess=guess)
         store['initial_guess'] = df.copy()
         self.inputs['atmosphere']['profile'] = df
         return df

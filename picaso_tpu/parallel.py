@@ -51,13 +51,19 @@ def shard_scene(scene: SceneTensors, mesh: Mesh,
     """Place scene arrays: wave-sharded where they have a wno axis,
     replicated otherwise.  With ``batched`` the leading axis is the batch
     axis and shards over 'batch'."""
-    lead = ('batch',) if batched else ()
+    from .pipeline import _SCALARISH_RANK
     out = {}
     for name, val in scene._asdict().items():
+        # stack_scenes leaves batch-constant scalarish fields at their
+        # per-scene rank — those replicate (or wave-shard) with NO
+        # batch dim even when the rest of the scene is batched
+        rank = _SCALARISH_RANK.get(name)
+        lead = (('batch',) if batched
+                and not (rank is not None and np.ndim(val) == rank) else ())
         if name in _wave_sharded_fields():
             spec = P(*lead, *((None,) * (val.ndim - 1 - len(lead))), 'wave')
         else:
-            spec = P(*lead) if batched and val.ndim else P()
+            spec = P(*lead) if lead and np.ndim(val) else P()
         out[name] = jax.device_put(val, NamedSharding(mesh, spec))
     return SceneTensors(**out)
 

@@ -49,11 +49,25 @@ class EvoAtmosphereGasGiantPicaso:
         self.save_file = save_file
         self.initial_guess = None
         if save_file is not None:
+            # the file is an append-log of steady states (reference
+            # photochem.py:172-180); warm-start from the NEWEST record,
+            # converted to the top-down dataframe layout every
+            # df_comp_guess consumer expects
+            sol = None
             try:
                 with open(save_file, 'rb') as f:
-                    self.initial_guess = pickle.load(f)
-            except (FileNotFoundError, EOFError):
+                    while True:
+                        try:
+                            sol = pickle.load(f)
+                        except EOFError:
+                            break
+            except FileNotFoundError:
                 pass
+            if isinstance(sol, dict):
+                import pandas as pd
+                self.initial_guess = pd.DataFrame(
+                    {k: np.asarray(v)[::-1]
+                     for k, v in sol.items() if k != 'alt'})
 
     def initialize_to_climate_equilibrium_PT_picaso(
             self, df, Kzz_in, metallicity, CtoO,

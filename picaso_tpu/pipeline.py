@@ -329,14 +329,31 @@ def stack_scenes(scenes):
         if all(isinstance(x, np.ndarray) or np.isscalar(x) for x in xs):
             return np.stack(xs)
         return jnp.stack(xs)
-    return jax.tree_util.tree_map(_stack, *scenes)
+    batch = jax.tree_util.tree_map(_stack, *scenes)
+    # batch-constancy of the scalarish fields is decided HERE, where the
+    # per-scene leaves are host data (or the same device object), so
+    # forward_batch never forces a device->host readback in the hot loop
+    updates = {}
+    for name in _SCALARISH_RANK:
+        leaves = [getattr(s, name) for s in scenes]
+        first = leaves[0]
+        same = all(l is first for l in leaves) or (
+            all(isinstance(l, np.ndarray) or np.isscalar(l)
+                for l in leaves)
+            and all(np.array_equal(l, first) for l in leaves[1:]))
+        if same:
+            updates[name] = first
+    return batch._replace(**updates)
 
 
 # small per-scene fields that feed the Pallas megakernels' scalar
 # (SMEM) arguments — a batch axis on these is unsupported by the Mosaic
-# vmap lowering, but across a retrieval batch they are identical anyway
-_SCALARISH_FIELDS = ('ubar0', 'ubar1', 'gweight', 'tweight', 'cos_theta',
-                     'F0PI', 'surf_reflect')
+# vmap lowering, but across a retrieval batch they are identical anyway.
+# Values are each field's UNBATCHED rank: stack_scenes leaves a
+# batch-constant field at this rank, and forward_batch reads only the
+# rank (never the data) to pick the vmap axis.
+_SCALARISH_RANK = {'ubar0': 2, 'ubar1': 2, 'gweight': 1, 'tweight': 1,
+                   'cos_theta': 0, 'F0PI': 1, 'surf_reflect': 1}
 
 
 def forward_batch(scenes: SceneTensors, grid: OpacityGrid,
@@ -346,19 +363,19 @@ def forward_batch(scenes: SceneTensors, grid: OpacityGrid,
     :func:`stack_scenes`); outputs gain the same axis.
 
     Geometry-like fields that are identical across the batch (the
-    retrieval case — same disk nodes, different atmospheres) are passed
-    unbatched so the Pallas megakernel path stays usable; fields that
-    genuinely vary per scene (phase curves) keep their batch axis."""
+    retrieval case — same disk nodes, different atmospheres) stay
+    unbatched (stack_scenes leaves them at their per-scene rank) so the
+    Pallas megakernel path stays usable; fields that genuinely vary per
+    scene (phase curves) keep their batch axis.  Hand-stacked inputs
+    with a batch axis on everything still work — they just take the
+    vmapped non-Pallas path for the scalarish fields."""
     axes = {}
-    updates = {}
     for name, val in scenes._asdict().items():
-        axes[name] = 0
-        if name in _SCALARISH_FIELDS and np.ndim(val) >= 1:
-            host = np.asarray(val)          # small fields only
-            if (host == host[0]).all():
-                axes[name] = None
-                updates[name] = val[0]
-    scenes = scenes._replace(**updates)
+        rank = _SCALARISH_RANK.get(name)
+        if rank is not None and (val is None or np.ndim(val) == rank):
+            axes[name] = None
+        else:
+            axes[name] = 0
     return jax.vmap(lambda s: forward(s, grid, config),
                     in_axes=(SceneTensors(**axes),))(scenes)
 

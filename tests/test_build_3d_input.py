@@ -59,3 +59,25 @@ def test_regrid_to_gauss_cheby_matches_regrid_xarray():
         ds.data_vars['temperature'].values, num_gangle=6, num_tangle=6,
         phase=0.0)
     np.testing.assert_allclose(cube, out['temperature'], rtol=1e-12)
+
+
+def test_longitude_periodic_wrap():
+    """A [0, 360) GCM grid queried at facet longitudes in [-180, 180]
+    must interpolate through the anti-meridian, not clamp to the seam
+    (regression: lon=-90 used the lon~0 column instead of 270)."""
+    lon = np.arange(0.0, 360.0, 30.0)          # 12 columns, global
+    lat = np.linspace(-75, 75, 6)
+    # value IS the longitude angle's cosine: unambiguous per column
+    cube = np.cos(np.radians(lon))[:, None] + 0.0 * lat[None, :]
+    geom, out = b3d.regrid_to_gauss_cheby(
+        lat, lon, cube, num_gangle=8, num_tangle=4, phase=0.0)
+    lon_t = np.degrees(geom.longitude)
+    expect = np.cos(np.radians(lon_t))
+    got = out[:, 0]
+    np.testing.assert_allclose(got, expect, atol=0.05)
+    # a limited-area grid still clamps (no false wrap)
+    lon_la = np.linspace(10, 50, 5)
+    cube_la = lon_la[:, None] + 0.0 * lat[None, :]
+    _, out_la = b3d.regrid_to_gauss_cheby(
+        lat, lon_la, cube_la, num_gangle=8, num_tangle=4, phase=0.0)
+    assert out_la.min() >= 10.0 - 1e-9 and out_la.max() <= 50.0 + 1e-9

@@ -111,8 +111,7 @@ def test_sharded_retrieval_likelihood_matches(forward_problem):
 
     @jax.jit
     def loglike(batch, grid, y):
-        out = jax.vmap(lambda s: pipeline.forward(s, grid, config),
-                       in_axes=(0,))(batch)
+        out = pipeline.forward_batch(batch, grid, config)
         return -0.5 * jnp.sum((out['albedo'] - y[None]) ** 2, axis=-1)
 
     ref = np.asarray(loglike(batch, grid, jnp.asarray(y)))

@@ -99,3 +99,31 @@ def test_photochem_coupled_climate_converges():
     # the converged chemistry bears the kinetic signature
     prof = case.inputs['atmosphere']['profile']
     assert np.allclose(prof['CH4'], prof['CH4'].iloc[-1])
+
+
+def test_save_file_restores_newest_record(tmp_path, monkeypatch):
+    """The save_file is an append-log (reference photochem.py:172-180);
+    a new adapter must warm-start from the NEWEST steady state, exposed
+    as a top-down dataframe that reinitialize_* can consume."""
+    from picaso_tpu import photochem as pcm
+
+    class FakeBase:
+        def __init__(self, *a, **k):
+            self.gdat = None
+
+    monkeypatch.setattr(pcm, '_require_photochem', lambda: FakeBase)
+    fn = tmp_path / 'photochem_log.pkl'
+    import pickle
+    with open(fn, 'ab') as f:
+        for scale in (1.0, 2.0, 3.0):     # three appended records
+            pickle.dump({'pressure': np.array([1e6, 1e5]),
+                         'temperature': np.array([900.0, 700.0]),
+                         'Kzz': np.array([1e9, 1e9]),
+                         'alt': np.array([0.0, 1e7]),
+                         'H2O': np.array([1e-4, 2e-4]) * scale}, f)
+    pc = pcm.EvoAtmosphereGasGiantPicaso(save_file=str(fn))
+    g = pc.initial_guess
+    assert g is not None and 'alt' not in g
+    # newest record (scale=3), flipped to top-down order
+    np.testing.assert_allclose(g['H2O'].to_numpy(), [6e-4, 3e-4])
+    np.testing.assert_allclose(g['pressure'].to_numpy(), [1e5, 1e6])
