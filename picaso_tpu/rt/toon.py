@@ -244,9 +244,15 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                           + gcos2 * (3.0 * ubar2 * ubar2 * u1 * u1 - 1.0) / 2.0)
             multi_minus = (1.0 - 1.5 * ftau_cld * cosb * u1
                            + gcos2 * (3.0 * ubar2 * ubar2 * u1 * u1 - 1.0) / 2.0)
-        else:  # N=1
+        elif controls.multi_phase == 1:  # N=1
             multi_plus = 1.0 + 1.5 * ftau_cld * cosb * u1
             multi_minus = 1.0 - 1.5 * ftau_cld * cosb * u1
+        else:  # isotropic: the option the reference enumerates
+            # (justdoit.py:5519) but never implemented — its branch dies
+            # with UnboundLocalError (fluxes.py:1275-1287 has no case 2).
+            # Zeroth-order Legendre expansion: no angular weighting.
+            multi_plus = jnp.ones_like(cosb * u1)
+            multi_minus = multi_plus
 
         G = positive * (multi_plus + gama * multi_minus) * w0 * (0.5 / PI)
         H = negative * (gama * multi_plus + multi_minus) * w0 * (0.5 / PI)

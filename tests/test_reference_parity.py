@@ -421,3 +421,218 @@ def test_transit_1d_parity(ref_jdi, syn_db, star_file):
     rel = _rel(df['transit_depth'], ref_df['transit_depth'])
     assert rel.max() < 1e-4, f'max rel {rel.max():.3e}'
     assert np.median(rel) < 1e-5
+
+
+# -- non-default scattering-option sweep -----------------------------------
+#
+# Every combo below flips knobs away from the defaults the golden tests
+# run at, with clouds attached so the phase-function choices actually
+# matter (two round-3 review bugs — the SH w_single beam source and the
+# virga lapse sign — were invisible at defaults).  Reference arithmetic:
+# fluxes.py:1010 (toon options), :2675 (SH forms).
+_TOON_OPTION_COMBOS = [
+    dict(single_phase='OTHG'),
+    dict(single_phase='cahoy'),
+    dict(single_phase='TTHG'),
+    dict(multi_phase='N=1'),
+    dict(delta_eddington=False),
+    dict(toon_coefficients='eddington'),
+    dict(raman='none'),
+]
+# Cloudy TTHG/delta-M expansions can only be compared at ONE disk
+# angle: the reference's `f_deltaM_ = f_deltaM; f_deltaM_ *= (...)`
+# (fluxes.py:2823-2824) mutates the caller's f_deltaM slice IN PLACE,
+# so every angle after the first runs on a further-scaled array —
+# angle-order-dependent corruption of the intended local copy (pinned
+# by test_sh_f_deltaM_reference_mutation).  Combos whose expansions
+# touch f_deltaM with clouds live in the kernel-level single-angle
+# sweep below; the end-to-end combos here are the mutation-free ones.
+_SH_OPTION_COMBOS = [
+    dict(w_single_form='isotropic', w_multi_form='isotropic'),
+    dict(delta_eddington=False),
+]
+_SH_KERNEL_COMBOS = [
+    dict(stream=2),
+    dict(w_single_form=1),
+    dict(w_multi_form=1, psingle_form=1),
+    dict(w_single_rayleigh=0, w_multi_rayleigh=0, psingle_rayleigh=0),
+    dict(single_form=1),
+]
+
+
+def _cloudy_jupiter(mod, opa, star_file, u, approx_kwargs):
+    case = _setup_jupiter(mod, opa, star_file, u)
+    case.clouds(filename=os.path.join(refshim.REFERENCE_REFDATA,
+                                      'base_cases', 'jupiterf3.cld'),
+                sep=r'\s+')
+    if approx_kwargs:
+        case.approx(**approx_kwargs)
+    return case
+
+
+@pytest.mark.parametrize('opts', _TOON_OPTION_COMBOS,
+                         ids=lambda d: ','.join(f'{k}={v}'
+                                                for k, v in d.items()))
+def test_reflected_toon_options_parity(ref_jdi, syn_db, star_file, opts):
+    ref_opa = _ref_opa(ref_jdi, syn_db, [0.3, 1])
+    ref_case = _cloudy_jupiter(ref_jdi, ref_opa, star_file, ref_jdi.u,
+                               opts)
+    ref_df = ref_case.spectrum(ref_opa, calculation='reflected')
+
+    opa = jdi.opannection(wave_range=[0.3, 1], filename_db=syn_db)
+    case = _cloudy_jupiter(jdi, opa, star_file, jdi.u, opts)
+    df = case.spectrum(opa, calculation='reflected')
+
+    rel = _rel(df['albedo'], ref_df['albedo'])
+    assert rel.max() < 1e-4, f'{opts}: max rel {rel.max():.3e}'
+
+
+def test_multi_phase_isotropic_dead_in_reference(ref_jdi, syn_db,
+                                                 star_file):
+    """multi_phase='isotropic' is enumerated by the reference
+    (justdoit.py:5519) but its Toon kernel has no branch for it —
+    fluxes.py:1275-1287 leaves multi_plus unbound.  Pin that (so this
+    test flags any upstream change), and check our implementation of
+    the documented option runs and lands in a sane albedo range."""
+    ref_opa = _ref_opa(ref_jdi, syn_db, [0.3, 1])
+    ref_case = _cloudy_jupiter(ref_jdi, ref_opa, star_file, ref_jdi.u,
+                               dict(multi_phase='isotropic'))
+    with pytest.raises(UnboundLocalError):
+        ref_case.spectrum(ref_opa, calculation='reflected')
+
+    opa = jdi.opannection(wave_range=[0.3, 1], filename_db=syn_db)
+    case = _cloudy_jupiter(jdi, opa, star_file, jdi.u,
+                           dict(multi_phase='isotropic'))
+    df = case.spectrum(opa, calculation='reflected')
+    alb = np.asarray(df['albedo'])
+    assert np.isfinite(alb).all() and (alb >= 0).all() and alb.max() < 1.5
+
+    # and it must differ from N=1 (the silent old fallback)
+    case2 = _cloudy_jupiter(jdi, opa, star_file, jdi.u,
+                            dict(multi_phase='N=1'))
+    df2 = case2.spectrum(opa, calculation='reflected')
+    assert not np.allclose(alb, np.asarray(df2['albedo']))
+
+
+@pytest.mark.parametrize('opts', _SH_OPTION_COMBOS,
+                         ids=lambda d: ','.join(f'{k}={v}'
+                                                for k, v in d.items()))
+def test_reflected_sh_options_parity(ref_jdi, syn_db, star_file, opts):
+    approx = dict(rt_method='SH', **{'stream': 4, **opts})
+
+    ref_opa = _ref_opa(ref_jdi, syn_db, [0.3, 1])
+    ref_case = _cloudy_jupiter(ref_jdi, ref_opa, star_file, ref_jdi.u,
+                               approx)
+    ref_df = ref_case.spectrum(ref_opa, calculation='reflected')
+
+    opa = jdi.opannection(wave_range=[0.3, 1], filename_db=syn_db)
+    case = _cloudy_jupiter(jdi, opa, star_file, jdi.u, approx)
+    df = case.spectrum(opa, calculation='reflected')
+
+    rel = _rel(df['albedo'], ref_df['albedo'])
+    assert rel.max() < 1e-4, f'{opts}: max rel {rel.max():.3e}'
+
+
+def _sh_kernel_inputs(stream):
+    """A cloudy synthetic column with the delta-Eddington rescaling the
+    reference applies upstream (optics.py:412-416)."""
+    rng = np.random.default_rng(7)
+    nlayer, nwno = 6, 40
+    dtau_og = 0.05 + rng.random((nlayer, nwno))
+    w0_og = 0.3 + 0.65 * rng.random((nlayer, nwno))
+    cosb_og = np.zeros((nlayer, nwno))
+    cosb_og[2:5] = 0.2 + 0.6 * rng.random((3, nwno))   # the cloud deck
+    ftau_cld = np.where(cosb_og > 0, 0.8, 0.0)
+    ftau_ray = 1.0 - ftau_cld
+    f_deltaM = cosb_og ** stream
+    w0 = w0_og * (1 - f_deltaM) / (1 - w0_og * f_deltaM)
+    cosb = (cosb_og - f_deltaM) / (1 - f_deltaM)
+    dtau = dtau_og * (1 - w0_og * f_deltaM)
+    tau = np.vstack([np.zeros((1, nwno)), np.cumsum(dtau, 0)])
+    tau_og = np.vstack([np.zeros((1, nwno)), np.cumsum(dtau_og, 0)])
+    return (dtau, tau, w0, cosb, ftau_cld, ftau_ray, f_deltaM,
+            dtau_og, tau_og, w0_og, cosb_og)
+
+
+@pytest.mark.parametrize('opts', _SH_KERNEL_COMBOS,
+                         ids=lambda d: ','.join(f'{k}={v}'
+                                                for k, v in d.items()))
+def test_reflected_sh_kernel_options_parity(ref_jdi, opts):
+    """Cloudy SH expansions vs reference get_reflected_SH at ONE disk
+    angle (angle 0 is free of the reference's in-place f_deltaM
+    compounding, so strict parity holds)."""
+    import refshim as _shim
+    from picaso_tpu import optics as optics_mod
+    from picaso_tpu.rt import sh as sh_mod
+
+    fl = _shim.load_reference('fluxes')
+    stream = opts.get('stream', 4)
+    (dtau, tau, w0, cosb, ftau_cld, ftau_ray, f_deltaM,
+     dtau_og, tau_og, w0_og, cosb_og) = _sh_kernel_inputs(stream)
+    nlayer, nwno = dtau.shape
+    nlevel = nlayer + 1
+    surf = np.zeros(nwno)
+    F0PI = np.ones(nwno)
+    u0 = np.array([[0.55]])
+    u1 = np.array([[0.45]])
+    cos_theta = 0.5
+
+    kw = dict(w_single_form=0, w_multi_form=0, psingle_form=0,
+              w_single_rayleigh=1, w_multi_rayleigh=1,
+              psingle_rayleigh=1, single_form=0)
+    kw.update({k: v for k, v in opts.items() if k != 'stream'})
+
+    ref_xint, _ = fl.get_reflected_SH(
+        nlevel, nwno, 1, 1, dtau.copy(), tau.copy(), w0.copy(),
+        cosb.copy(), ftau_cld.copy(), ftau_ray.copy(), f_deltaM.copy(),
+        dtau_og.copy(), tau_og.copy(), w0_og.copy(), cosb_og.copy(),
+        surf, u0, u1, cos_theta, F0PI,
+        kw['w_single_form'], kw['w_multi_form'], kw['psingle_form'],
+        kw['w_single_rayleigh'], kw['w_multi_rayleigh'],
+        kw['psingle_rayleigh'],
+        1.0, -1.0, 2.0, -0.5, 1.0, stream,
+        b_top=0.0, flx=0, single_form=kw['single_form'])
+
+    props = optics_mod.RTProps(
+        dtau=dtau, tau=tau, w0=w0, cosb=cosb, ftau_cld=ftau_cld,
+        ftau_ray=ftau_ray, gcos2=0.0 * dtau, dtau_og=dtau_og,
+        tau_og=tau_og, w0_og=w0_og, cosb_og=cosb_og,
+        w0_no_raman=w0_og, f_deltaM=f_deltaM)
+    mine = np.asarray(sh_mod.reflected_sh(
+        props, surf, u0, u1, cos_theta, F0PI, stream=stream,
+        w_single_form=kw['w_single_form'],
+        w_multi_form=kw['w_multi_form'],
+        psingle_form=kw['psingle_form'],
+        w_single_rayleigh=kw['w_single_rayleigh'],
+        w_multi_rayleigh=kw['w_multi_rayleigh'],
+        psingle_rayleigh=kw['psingle_rayleigh'],
+        single_form=kw['single_form']))
+
+    rel = _rel(mine, np.asarray(ref_xint))
+    assert rel.max() < 1e-6, f'{opts}: max rel {rel.max():.3e}'
+
+
+def test_sh_f_deltaM_reference_mutation(ref_jdi):
+    """Pin the reference's in-place f_deltaM compounding across disk
+    angles (fluxes.py:2823-2824): after numg=2 angles the caller's array
+    is scaled by factor^2.  If an upstream fix lands, this fails and the
+    combos above can move back to multi-angle end-to-end parity."""
+    import refshim as _shim
+    fl = _shim.load_reference('fluxes')
+    stream = 4
+    (dtau, tau, w0, cosb, ftau_cld, ftau_ray, f_deltaM,
+     dtau_og, tau_og, w0_og, cosb_og) = _sh_kernel_inputs(stream)
+    nlayer, nwno = dtau.shape
+    fd0 = f_deltaM.copy()
+    u0 = np.array([[0.5], [0.6]])
+    u1 = np.array([[0.4], [0.7]])
+    fl.get_reflected_SH(
+        nlayer + 1, nwno, 2, 1, dtau, tau, w0, cosb, ftau_cld, ftau_ray,
+        f_deltaM, dtau_og, tau_og, w0_og, cosb_og, np.zeros(nwno),
+        u0, u1, 0.5, np.ones(nwno), 0, 0, 0, 1, 1, 1,
+        1.0, -1.0, 2.0, -0.5, 1.0, stream,
+        b_top=0.0, flx=0, single_form=0)
+    g_back = -0.5 * cosb_og
+    f = 1.0 - g_back ** 2
+    factor = f * 1.0 ** stream + (1 - f) * (-0.5) ** stream
+    np.testing.assert_allclose(f_deltaM, fd0 * factor ** 2, rtol=1e-12)
