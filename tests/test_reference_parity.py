@@ -178,6 +178,26 @@ def test_thermal_1d_parity(ref_jdi, syn_db, sh):
     assert np.median(rel) < 1e-5
 
 
+@pytest.mark.parametrize('sh', [False, True], ids=['toon', 'SH'])
+def test_thermal_cloudy_parity(ref_jdi, syn_db, sh):
+    """Cloudy thermal emission vs reference (scattering source terms in
+    get_thermal_1d/get_thermal_SH active, unlike the clear-sky test)."""
+    cld = os.path.join(refshim.REFERENCE_REFDATA, 'base_cases',
+                       't1270g200f1_m0.0_co1.0.cld')
+    ref_opa = _ref_opa(ref_jdi, syn_db, [1, 14])
+    ref_case = _setup_bd(ref_jdi, ref_jdi.u, sh=sh)
+    ref_case.clouds(filename=cld, sep=r'\s+')
+    ref_df = ref_case.spectrum(ref_opa, calculation='thermal')
+
+    opa = jdi.opannection(wave_range=[1, 14], filename_db=syn_db)
+    case = _setup_bd(jdi, jdi.u, sh=sh)
+    case.clouds(filename=cld, sep=r'\s+')
+    df = case.spectrum(opa, calculation='thermal')
+
+    rel = _rel(df['thermal'], ref_df['thermal'])
+    assert rel.max() < 1e-4, f'max rel {rel.max():.3e}'
+
+
 @pytest.fixture(scope='session')
 def ck_file(tmp_path_factory, syn_db):
     """Premixed CK hdf5 on the 196-grid of the bundled CK continuum DB,
@@ -422,6 +442,21 @@ def test_transit_1d_parity(ref_jdi, syn_db, star_file):
     assert rel.max() < 1e-4, f'max rel {rel.max():.3e}'
     assert np.median(rel) < 1e-5
 
+    # cloudy transit: grey + slab opacity enters the chord integrals
+    hj_cld = os.path.join(refshim.REFERENCE_REFDATA, 'base_cases',
+                          'HJ.cld')
+    ref_case = setup(ref_jdi, ref_jdi.u)
+    ref_case.clouds(filename=hj_cld, sep=r'\s+')
+    ref_df_c = ref_case.spectrum(ref_opa, calculation='transmission')
+    case = setup(jdi, jdi.u)
+    case.clouds(filename=hj_cld, sep=r'\s+')
+    df_c = case.spectrum(opa, calculation='transmission')
+    rel = _rel(df_c['transit_depth'], ref_df_c['transit_depth'])
+    assert rel.max() < 1e-4, f'cloudy max rel {rel.max():.3e}'
+    # and the clouds actually mattered
+    assert not np.allclose(np.asarray(df_c['transit_depth']),
+                           np.asarray(df['transit_depth']))
+
 
 # -- non-default scattering-option sweep -----------------------------------
 #
@@ -438,6 +473,7 @@ _TOON_OPTION_COMBOS = [
     dict(delta_eddington=False),
     dict(toon_coefficients='eddington'),
     dict(raman='none'),
+    dict(raman='oklopcic'),
 ]
 # Cloudy TTHG/delta-M expansions can only be compared at ONE disk
 # angle: the reference's `f_deltaM_ = f_deltaM; f_deltaM_ *= (...)`
@@ -461,12 +497,20 @@ _SH_KERNEL_COMBOS = [
 
 
 def _cloudy_jupiter(mod, opa, star_file, u, approx_kwargs):
-    case = _setup_jupiter(mod, opa, star_file, u)
+    case = mod.inputs()
+    case.phase_angle(0)
+    # approx() BEFORE star(): the reference computes the oklopcic Raman
+    # stellar shifts inside star() and only when raman==0 is already set
+    # (justdoit.py:1832-1840)
+    if approx_kwargs:
+        case.approx(**approx_kwargs)
+    case.gravity(gravity=25, gravity_unit=u.Unit('m/(s**2)'))
+    case.star(opa, filename=star_file, w_unit='um',
+              f_unit='erg*cm^(-3)*s^(-1)')
+    case.atmosphere(filename=JUPITER_PT, sep=r'\s+')
     case.clouds(filename=os.path.join(refshim.REFERENCE_REFDATA,
                                       'base_cases', 'jupiterf3.cld'),
                 sep=r'\s+')
-    if approx_kwargs:
-        case.approx(**approx_kwargs)
     return case
 
 
@@ -485,6 +529,27 @@ def test_reflected_toon_options_parity(ref_jdi, syn_db, star_file, opts):
 
     rel = _rel(df['albedo'], ref_df['albedo'])
     assert rel.max() < 1e-4, f'{opts}: max rel {rel.max():.3e}'
+
+
+def test_patchy_clouds_parity(ref_jdi, syn_db, star_file):
+    """Fractional cloud coverage (do_holes/fhole linear flux mixing,
+    justdoit.py:139-141/:287-302) vs the reference, reflected light."""
+    ref_opa = _ref_opa(ref_jdi, syn_db, [0.3, 1])
+    ref_case = _setup_jupiter(ref_jdi, ref_opa, star_file, ref_jdi.u)
+    ref_case.clouds(filename=os.path.join(refshim.REFERENCE_REFDATA,
+                                          'base_cases', 'jupiterf3.cld'),
+                    sep=r'\s+', do_holes=True, fhole=0.35, fthin_cld=0.0)
+    ref_df = ref_case.spectrum(ref_opa, calculation='reflected')
+
+    opa = jdi.opannection(wave_range=[0.3, 1], filename_db=syn_db)
+    case = _setup_jupiter(jdi, opa, star_file, jdi.u)
+    case.clouds(filename=os.path.join(refshim.REFERENCE_REFDATA,
+                                      'base_cases', 'jupiterf3.cld'),
+                sep=r'\s+', do_holes=True, fhole=0.35, fthin_cld=0.0)
+    df = case.spectrum(opa, calculation='reflected')
+
+    rel = _rel(df['albedo'], ref_df['albedo'])
+    assert rel.max() < 1e-4, f'max rel {rel.max():.3e}'
 
 
 def test_multi_phase_isotropic_dead_in_reference(ref_jdi, syn_db,
