@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import refshim  # noqa: E402
 
+import jax.numpy as jnp  # noqa: E402
+
 from picaso_tpu import justdoit as jdi  # noqa: E402
 from picaso_tpu.opacities import factory  # noqa: E402
 
@@ -701,3 +703,93 @@ def test_sh_f_deltaM_reference_mutation(ref_jdi):
     f = 1.0 - g_back ** 2
     factor = f * 1.0 ** stream + (1 - f) * (-0.5) ** stream
     np.testing.assert_allclose(f_deltaM, fd0 * factor ** 2, rtol=1e-12)
+
+
+def test_moist_adiabat_parity(ref_jdi):
+    """Function-level A/B of the moist adiabatic gradient + thermo
+    helpers against the reference (climate.py:2137-2541): same adiabat
+    table, same condensable abundances, over a (T, P) grid spanning all
+    Shomate cp ranges and every dH regime (above/below Tcrit/Tfr)."""
+    import refshim as _shim
+    from collections import namedtuple
+    from picaso_tpu.climate import moist as moist_mod
+    from picaso_tpu.climate.adiabat import load_adiabat_grid
+
+    cl = _shim.load_reference('climate')
+    grid = load_adiabat_grid()
+    BundleT = namedtuple('AdiabatBundle', ['t_table', 'p_table', 'grad',
+                                           'cp'])
+    bundle = BundleT(*(np.asarray(x, np.float64) for x in grid))
+
+    condensables = ['H2O', 'CH4', 'NH3', 'Fe']
+    weights = np.array([18.015, 16.043, 17.031, 55.845])
+    temps = np.array([80.0, 150.0, 250.0, 380.0, 650.0, 1200.0, 2600.0])
+    n = len(temps)
+    press = np.geomspace(1e-3, 1e2, n)
+    rng = np.random.default_rng(11)
+    abunds = 10 ** rng.uniform(-6, -2.3, size=(4, n))
+
+    AtmT = namedtuple('Atmosphere_Tuple',
+                      ['dtdp', 'mmw_layer', 'nlevel', 't_level',
+                       'p_level', 'condensables',
+                       'condensable_abundances', 'condensable_weights',
+                       'scale_height'])
+    atmo = AtmT(None, None, n, temps, press, condensables,
+                [abunds[i] for i in range(4)], weights, None)
+
+    ref_grad = np.zeros(n)
+    ref_cp = np.zeros(n)
+    for j in range(n):
+        ref_grad[j], ref_cp[j] = cl.moist_grad(temps[j], press[j],
+                                               bundle, atmo, j)
+
+    mine_grad, mine_cp = moist_mod.moist_grad(
+        jnp.asarray(temps), jnp.asarray(press), grid,
+        jnp.asarray(abunds), tuple(condensables), jnp.asarray(weights))
+
+    np.testing.assert_allclose(np.asarray(mine_grad), ref_grad,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(mine_cp), ref_cp, rtol=1e-10)
+
+
+def test_kzz_mlt_parity(ref_jdi):
+    """Function-level A/B of the mixing-length Kzz (climate.py:331-493)
+    on a synthetic converging brown-dwarf-ish column."""
+    import refshim as _shim
+    from collections import namedtuple
+    from picaso_tpu.climate import kzz as kzz_mod
+    from picaso_tpu.climate.adiabat import load_adiabat_grid
+
+    cl = _shim.load_reference('climate')
+    grid = load_adiabat_grid()
+    BundleT = namedtuple('AdiabatBundle', ['t_table', 'p_table', 'grad',
+                                           'cp'])
+    bundle = BundleT(*(np.asarray(x, np.float64) for x in grid))
+
+    nlevel = 31
+    press = np.logspace(-4, 2, nlevel)
+    temp = 900.0 * (press / press[-1]) ** 0.11
+    mmw = np.full(nlevel - 1, 2.3)
+    dtdp = np.diff(np.log(temp)) / np.diff(np.log(press))
+    grav = 200.0                                  # m/s^2 (SI like ref)
+    sigmab = 0.56687e-4
+    tidal = np.full(nlevel, -sigmab * 900.0 ** 4)
+    rng = np.random.default_rng(3)
+    flux_net_ir_layer = (-tidal[0]) * (0.2 + 0.6 * rng.random(nlevel))
+    flux_plus_ir_attop = np.array([-tidal[0] * 0.98])
+    nstr = np.array([0, 20, nlevel - 2, 0, 0, 0])
+
+    AtmT = namedtuple('Atmosphere_Tuple',
+                      ['dtdp', 'mmw_layer', 'nlevel', 't_level',
+                       'p_level', 'condensables',
+                       'condensable_abundances', 'condensable_weights',
+                       'scale_height'])
+    atmo = AtmT(dtdp, mmw, nlevel, temp, press, [], [], [], None)
+    ref_kz = cl.get_kzz(grav, tidal, flux_net_ir_layer,
+                        flux_plus_ir_attop, bundle, nstr, atmo,
+                        moist=False)
+
+    mine = kzz_mod.get_kzz(press, temp, grav, tidal, flux_net_ir_layer,
+                           flux_plus_ir_attop, grid, nstr, mmw, dtdp)
+    np.testing.assert_allclose(np.asarray(mine), np.asarray(ref_kz),
+                               rtol=1e-8)
