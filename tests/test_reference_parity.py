@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import refshim  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from picaso_tpu import justdoit as jdi  # noqa: E402
@@ -793,3 +794,155 @@ def test_kzz_mlt_parity(ref_jdi):
                            flux_plus_ir_attop, grid, nstr, mmw, dtdp)
     np.testing.assert_allclose(np.asarray(mine), np.asarray(ref_kz),
                                rtol=1e-8)
+
+
+def test_reflected_3d_kernel_parity(ref_jdi):
+    """Kernel-level A/B vs get_reflected_3d (fluxes.py:355-662) with a
+    DIFFERENT atmosphere per disk facet (the uniform-3D==1D internal
+    test can't see facet-mixing bugs)."""
+    import refshim as _shim
+    from picaso_tpu.rt import toon as toon_mod
+    from picaso_tpu import disco as disco_mod
+
+    fl = _shim.load_reference('fluxes')
+    numg, numt, nlayer, nwno = 3, 2, 8, 20
+    nlevel = nlayer + 1
+    rng = np.random.default_rng(5)
+    # per-facet optical properties [nlayer, nwno, ng, nt]
+    dtau = 0.02 + rng.random((nlayer, nwno, numg, numt))
+    w0 = 0.2 + 0.7 * rng.random((nlayer, nwno, numg, numt))
+    cosb = 0.5 * rng.random((nlayer, nwno, numg, numt))
+    gcos2 = 0.0 * dtau
+    ftau_cld = np.ones_like(dtau)
+    ftau_ray = 0.0 * dtau
+    tau = np.concatenate([np.zeros((1, nwno, numg, numt)),
+                          np.cumsum(dtau, 0)])
+    geom = disco_mod.make_geometry(0.0, num_gangle=numg, num_tangle=numt)
+    ubar0 = np.asarray(geom.ubar0)
+    ubar1 = np.asarray(geom.ubar1)
+    F0PI = np.ones(nwno)
+    surf = np.zeros(nwno)
+    wno = np.linspace(1e4 / 1.0, 1e4 / 0.3, nwno)
+
+    ref_xint = fl.get_reflected_3d(
+        nlevel, wno, nwno, numg, numt, dtau, tau, w0, cosb, gcos2,
+        ftau_cld, ftau_ray, dtau, tau, w0, cosb,
+        surf, ubar0, ubar1, 0.5, F0PI, 3, 0,
+        1.0, -1.0, 2.0, -0.5, 1.0)
+
+    # ours: facets on a vmapped leading axis of the 1D kernel, the
+    # three_d.picaso_3d layout
+    def one_facet(args):
+        (d, t, w, c, g2, fc, fr, u0, u1) = args
+        xint, _ = toon_mod.reflected_1d(
+            d, t, w, c, g2, fc, fr, d, t, w, c, surf,
+            u0.reshape(1, 1), u1.reshape(1, 1), 0.5, F0PI)
+        return xint[0, 0]
+
+    move = lambda x: jnp.moveaxis(
+        jnp.asarray(x), (2, 3), (0, 1)).reshape(numg * numt,
+                                                *x.shape[:2])
+    args = (move(dtau), move(tau), move(w0), move(cosb), move(gcos2),
+            move(ftau_cld), move(ftau_ray),
+            jnp.asarray(ubar0).reshape(-1), jnp.asarray(ubar1).reshape(-1))
+    mine = jax.vmap(lambda *a: one_facet(a))(*args)
+    mine = np.asarray(mine).reshape(numg, numt, nwno)
+
+    rel = _rel(mine, np.asarray(ref_xint))
+    assert rel.max() < 1e-6, f'max rel {rel.max():.3e}'
+
+
+def test_thermal_3d_kernel_parity(ref_jdi):
+    """Kernel-level A/B vs get_thermal_3d (fluxes.py:2148-2353) with
+    per-facet-varying temperature structure.
+
+    NB the reference's 3D thermal twin is internally inconsistent with
+    its own 1D kernel: the boundary terms use the intensity convention
+    (pi*B, fluxes.py:2310-2316) while its source terms and the whole 1D
+    kernel (fluxes.py:1862-1874) use flux (2pi) — pinned by
+    test_thermal_3d_reference_boundary_inconsistency.  picaso_tpu's 3D
+    path reuses the (consistent) 1D kernel per facet, so this A/B uses
+    a thin-top / opaque-bottom column where the mismatched boundary
+    terms are attenuated to nothing and the shared source-function
+    arithmetic is what's compared."""
+    import refshim as _shim
+    from picaso_tpu.rt import toon as toon_mod
+    from picaso_tpu import disco as disco_mod
+
+    fl = _shim.load_reference('fluxes')
+    numg, numt, nlayer, nwno = 3, 2, 8, 16
+    nlevel = nlayer + 1
+    rng = np.random.default_rng(9)
+    # thin at the top (b_top ~ 0), opaque at depth (bottom boundary
+    # attenuated by exp(-tau/u1) ~ 0): per-layer dtau ramps 1e-3 -> ~12
+    ramp = np.geomspace(1e-3, 12.0, nlayer)[:, None, None, None]
+    dtau = ramp * (0.8 + 0.4 * rng.random((nlayer, nwno, numg, numt)))
+    w0 = 0.1 + 0.5 * rng.random((nlayer, nwno, numg, numt))
+    cosb = 0.4 * rng.random((nlayer, nwno, numg, numt))
+    tlevel = (900.0 + 400.0 * rng.random((nlevel, numg, numt))
+              * np.linspace(0.2, 1.0, nlevel)[:, None, None])
+    plevel = np.logspace(-8, 2, nlevel)[:, None, None] + np.zeros(
+        (nlevel, numg, numt))
+    geom = disco_mod.make_geometry(0.0, num_gangle=numg, num_tangle=numt)
+    ubar1 = np.asarray(geom.ubar1)
+    wno = np.linspace(1e4 / 14.0, 1e4 / 1.0, nwno)
+    surf = np.zeros(nwno)
+
+    ref_flux = fl.get_thermal_3d(nlevel, wno, nwno, numg, numt, tlevel,
+                                 dtau, w0, cosb, plevel, ubar1, surf, 0)
+    ref_flux = np.asarray(ref_flux[0] if isinstance(ref_flux, tuple)
+                          else ref_flux)
+
+    def one_facet(d, w, c, tl, pl, u1):
+        flux, _ = toon_mod.thermal_1d(
+            tl, d, w, c, pl, u1.reshape(1, 1), surf, jnp.asarray(wno),
+            hard_surface=False)
+        return flux[0, 0]
+
+    move = lambda x: jnp.moveaxis(
+        jnp.asarray(x), (x.ndim - 2, x.ndim - 1), (0, 1)).reshape(
+            numg * numt, *x.shape[:-2])
+    mine = jax.vmap(one_facet)(move(dtau), move(w0), move(cosb),
+                               move(tlevel), move(plevel),
+                               jnp.asarray(ubar1).reshape(-1))
+    mine = np.asarray(mine).reshape(numg, numt, nwno)
+
+    rel = _rel(mine, ref_flux)
+    assert rel.max() < 1e-4, f'max rel {rel.max():.3e}'
+
+
+def test_thermal_3d_reference_boundary_inconsistency(ref_jdi):
+    """Pin that the reference's get_thermal_3d disagrees with its own
+    get_thermal_1d on IDENTICAL uniform inputs (pi- vs 2pi-convention
+    boundary terms, fluxes.py:2310-2316 vs :1862-1874).  picaso_tpu's 3D
+    path reuses the 1D kernel, the self-consistent choice.  If upstream
+    reconciles the twins this starts failing — then the A/B above can
+    drop its boundary-attenuation setup."""
+    import refshim as _shim
+    fl = _shim.load_reference('fluxes')
+    numg, numt, nlayer, nwno = 2, 1, 6, 8
+    nlevel = nlayer + 1
+    rng = np.random.default_rng(2)
+    d1 = 0.05 + rng.random((nlayer, nwno))        # modest taus: the
+    w1 = 0.1 + 0.5 * rng.random((nlayer, nwno))   # boundary terms matter
+    c1 = 0.4 * rng.random((nlayer, nwno))
+    t1 = 900.0 + 400.0 * np.linspace(0.2, 1.0, nlevel)
+    p1 = np.logspace(-4, 2, nlevel)
+    ubar1 = np.array([[0.4], [0.8]])
+    wno = np.linspace(1e4 / 14.0, 1e4 / 1.0, nwno)
+    surf = np.zeros(nwno)
+
+    flux_1d, _ = fl.get_thermal_1d(nlevel, wno, nwno, numg, numt, t1,
+                                   d1, w1, c1, p1, ubar1, surf, 0,
+                                   np.zeros(nwno), 0)
+    tile = lambda x: np.repeat(np.repeat(x[..., None, None], numg, -2),
+                               numt, -1)
+    flux_3d = fl.get_thermal_3d(nlevel, wno, nwno, numg, numt, tile(t1),
+                                tile(d1), tile(w1), tile(c1), tile(p1),
+                                ubar1, surf, 0)
+    flux_3d = np.asarray(flux_3d[0] if isinstance(flux_3d, tuple)
+                         else flux_3d)
+    rel = _rel(flux_3d, np.asarray(flux_1d))
+    assert rel.max() > 1e-3, (
+        'reference 1D and 3D thermal kernels now agree — drop the '
+        'boundary-attenuation setup in test_thermal_3d_kernel_parity')
