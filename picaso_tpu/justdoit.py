@@ -1944,9 +1944,11 @@ def _parse_visscher_grid(filename):
     """
     with open(filename) as f:
         header = f.readline()
-    # species names are the tokens after the two parenthesized units
-    tokens = header.replace('T (K)', '').replace('P (bar)', '').split()
-    species = tokens
+    # species names are the tokens after the two parenthesized units;
+    # the 1060 headers write 'T (K)  P (bar)', the 2121 ones 'T(K)  P(bar)'
+    for unit in ('T (K)', 'P (bar)', 'T(K)', 'P(bar)'):
+        header = header.replace(unit, '')
+    species = header.split()
     data = np.loadtxt(filename, skiprows=1)
     df = pd.DataFrame(data[:, 2:], columns=species)
     df['temperature'] = data[:, 0]

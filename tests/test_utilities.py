@@ -347,3 +347,18 @@ def test_nearest_grid_file_2121_decode():
     f = os.path.basename(jdi._nearest_grid_file(d, 'sonora_2121grid',
                                                 0.0, 0.458))
     assert 'feh0.0' in f and 'co0.46' in f
+
+
+def test_parse_visscher_2121_header():
+    """The 2121 headers write 'T(K)  P(bar)' without spaces — the unit
+    tokens must not leak into the species list (regression: DataFrame
+    shape mismatch when the external grid set is visible)."""
+    d = '/root/reference/reference/chemistry/visscher_grid_2121'
+    if not os.path.isdir(d):
+        pytest.skip('reference 2121 grid set unavailable')
+    fn = os.path.join(d, sorted(os.listdir(d))[0])
+    df = jdi._parse_visscher_grid(fn)
+    assert 'T(K)' not in df.columns and 'P(bar)' not in df.columns
+    assert {'H2O', 'CH4', 'CO', 'temperature', 'pressure'} <= set(
+        df.columns)
+    assert df.shape[0] == 2121
