@@ -946,3 +946,38 @@ def test_thermal_3d_reference_boundary_inconsistency(ref_jdi):
     assert rel.max() > 1e-3, (
         'reference 1D and 3D thermal kernels now agree — drop the '
         'boundary-attenuation setup in test_thermal_3d_kernel_parity')
+
+
+def test_chemeq_visscher_2121_parity(ref_jdi):
+    """chemeq_visscher_2121 A/B on a profile whose (T, P) land exactly
+    on 2121-grid nodes (both implementations' interpolation is exact
+    there, so this isolates file choice + parse + lookup)."""
+    import pandas as pd
+    d = os.path.join(refshim.REFERENCE_REFDATA, 'chemistry',
+                     'visscher_grid_2121')
+    if not os.path.isdir(d):
+        pytest.skip('2121 grids unavailable')
+    table = jdi._parse_visscher_grid(
+        jdi._nearest_grid_file(d, 'sonora_2121grid', 0.0, 0.458))
+    # pick a strictly-increasing-T subset of exact grid nodes
+    sub = table.iloc[400:2000:100]
+    prof = pd.DataFrame({'pressure': np.asarray(sub['pressure']),
+                         'temperature': np.asarray(sub['temperature'])})
+    prof = prof.sort_values('pressure').reset_index(drop=True)
+
+    ref_case = ref_jdi.inputs()
+    ref_case.inputs['atmosphere']['profile'] = prof.copy()
+    ref_case.nlevel = len(prof)
+    ref_case.chemeq_visscher_2121(0.458, 0.0)
+    ref_prof = ref_case.inputs['atmosphere']['profile']
+
+    case = jdi.inputs()
+    case.inputs['atmosphere']['profile'] = prof.copy()
+    case.nlevel = len(prof)
+    case.chemeq_visscher_2121(0.458, 0.0)
+    mine_prof = case.inputs['atmosphere']['profile']
+
+    for mol in ('H2O', 'CH4', 'CO', 'NH3', 'H2S', 'Na', 'K'):
+        assert mol in mine_prof.columns and mol in ref_prof.columns
+        rel = _rel(np.asarray(mine_prof[mol]), np.asarray(ref_prof[mol]))
+        assert rel.max() < 1e-3, f'{mol}: max rel {rel.max():.3e}'
