@@ -981,3 +981,35 @@ def test_chemeq_visscher_2121_parity(ref_jdi):
         assert mol in mine_prof.columns and mol in ref_prof.columns
         rel = _rel(np.asarray(mine_prof[mol]), np.asarray(ref_prof[mol]))
         assert rel.max() < 1e-3, f'{mol}: max rel {rel.max():.3e}'
+
+
+def test_chemeq_visscher_1060_parity(ref_jdi):
+    """Same A/B for the 1060 grid (different header layout + filename
+    encoding + condensation-flagged abundances)."""
+    import pandas as pd
+    d = os.path.join(refshim.REFERENCE_REFDATA, 'chemistry',
+                     'visscher_grid_1060')
+    if not os.path.isdir(d):
+        pytest.skip('1060 grids unavailable')
+    table = jdi._parse_visscher_grid(
+        jdi._nearest_grid_file(d, '2015_06_1060grid', 0.0, 1.0))
+    sub = table.iloc[100:1000:60]
+    prof = pd.DataFrame({'pressure': np.asarray(sub['pressure']),
+                         'temperature': np.asarray(sub['temperature'])})
+    prof = prof.sort_values('pressure').reset_index(drop=True)
+
+    ref_case = ref_jdi.inputs()
+    ref_case.inputs['atmosphere']['profile'] = prof.copy()
+    ref_case.nlevel = len(prof)
+    ref_case.chemeq_visscher_1060(1.0, 0.0)
+    ref_prof = ref_case.inputs['atmosphere']['profile']
+
+    case = jdi.inputs()
+    case.inputs['atmosphere']['profile'] = prof.copy()
+    case.nlevel = len(prof)
+    case.chemeq_visscher_1060(1.0, 0.0)
+    mine_prof = case.inputs['atmosphere']['profile']
+
+    for mol in ('H2O', 'CH4', 'CO', 'NH3'):
+        rel = _rel(np.asarray(mine_prof[mol]), np.asarray(ref_prof[mol]))
+        assert rel.max() < 1e-3, f'{mol}: max rel {rel.max():.3e}'
