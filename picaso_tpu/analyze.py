@@ -17,7 +17,6 @@ import os
 import numpy as np
 import pandas as pd
 
-from .wavelength import mean_regrid
 
 __all__ = ['GridFitter', 'chi_squared', 'detection_test', 'sigma']
 
@@ -150,19 +149,36 @@ class GridFitter:
                       'thermal': 'flux_emission'}
         spectra, rows = [], []
         wavenumber = None
+        n_regridded = 0
+
+        def _onto_common(wno, spec):
+            # all members must share ONE wavenumber axis; a member on a
+            # different grid (mixed .h5/.nc dirs, mixed resolutions) is
+            # interpolated onto the first file's axis instead of being
+            # silently stacked against the wrong coordinates
+            nonlocal wavenumber, n_regridded
+            if wavenumber is None:
+                wavenumber = wno
+                return spec
+            if len(wno) == len(wavenumber) and np.allclose(
+                    wno, wavenumber):
+                return spec
+            n_regridded += 1
+            return np.interp(wavenumber, wno, spec)
+
         for fn in files:
             if fn.endswith('.nc'):
                 from .ncio import read_netcdf
                 import json as _json
                 ds = read_netcdf(fn)
-                wavenumber = np.sort(1e4 / ds.coords['wavelength'].values)
+                wno_f = np.sort(1e4 / ds.coords['wavelength'].values)
                 key = spectra_key if spectra_key in ds.data_vars else \
                     nc_aliases.get(spectra_key, spectra_key)
                 if key not in ds.data_vars:
                     key = [k for k, v in ds.data_vars.items()
                            if v.dims == ('wavelength',)][0]
                 order = np.argsort(1e4 / ds.coords['wavelength'].values)
-                spectra.append(ds[key].values[order])
+                spectra.append(_onto_common(wno_f, ds[key].values[order]))
                 row = {}
                 for k, v in ds.attrs.items():
                     if isinstance(v, str) and v.lstrip().startswith('{'):
@@ -176,18 +192,21 @@ class GridFitter:
                 rows.append(row)
             else:
                 with h5py.File(fn, 'r') as f:
-                    wavenumber = np.asarray(f['spectra']['wavenumber'])
+                    wno_f = np.asarray(f['spectra']['wavenumber'])
                     keys = list(f['spectra'])
                     key = spectra_key if spectra_key in keys else [
                         k for k in keys if k != 'wavenumber'][0]
-                    spectra.append(np.asarray(f['spectra'][key]))
+                    spectra.append(_onto_common(
+                        wno_f, np.asarray(f['spectra'][key])))
                     rows.append(dict(f.attrs))
         self.wavenumber = wavenumber
         self.spectra = np.asarray(spectra)
         self.grid_params = pd.DataFrame(rows)
         self.list_of_files = files
         if self.verbose:
-            print(f'loaded {len(files)} models from {location}')
+            note = (f' ({n_regridded} interpolated onto the first '
+                    'file\'s wavenumber axis)' if n_regridded else '')
+            print(f'loaded {len(files)} models from {location}{note}')
 
     def load_grid_params(self, location, spectra_key='fpfs_thermal'):
         """Reference-name alias of :meth:`load_grid` (analyze.py:184)."""
@@ -216,11 +235,20 @@ class GridFitter:
         # map each data wavelength to its bin in the ascending-wno grid
         pos = np.searchsorted(data_wno, 1e4 / wl)
         pos = np.clip(pos, 0, len(data_wno) - 1)
-        binned = np.zeros((len(self.spectra), len(wl)))
-        for i, spec in enumerate(self.spectra):
-            _, by = mean_regrid(self.wavenumber, spec, newx=data_wno)
-            by = np.nan_to_num(by, nan=float(np.nanmean(by)))
-            binned[i] = by[pos]
+        # ONE binned_statistic over the whole [nmodels, nwno] matrix
+        # (same edge construction as wavelength.mean_regrid) instead of
+        # re-binning the shared wavenumber axis once per model
+        from scipy.stats import binned_statistic
+        d = np.diff(data_wno)
+        edges = np.concatenate([[data_wno[0] - d[0] / 2.0],
+                                data_wno[:-1] + d / 2.0,
+                                [data_wno[-1] + d[-1] / 2.0]])
+        stat, _, _ = binned_statistic(self.wavenumber, self.spectra,
+                                      bins=edges)
+        stat = np.atleast_2d(stat)
+        row_mean = np.nanmean(stat, axis=1, keepdims=True)
+        stat = np.where(np.isnan(stat), row_mean, stat)
+        binned = stat[:, pos]
 
         if offset:
             # analytic offset: shift = weighted mean residual
@@ -349,9 +377,15 @@ class GridFitter:
         if isinstance(grid_names, str):
             grid_names = [grid_names]
         if input_parameters == 'all':
-            params = [k for k in self.grid_params.keys()
-                      if np.issubdtype(np.asarray(
-                          self.grid_params[k]).dtype, np.number)]
+            # enumerate parameters from the REQUESTED grids, not from
+            # wherever the flat attributes happen to point
+            params = []
+            for igrid in grid_names:
+                self._use(igrid)
+                for k in self.grid_params.keys():
+                    if k not in params and np.issubdtype(np.asarray(
+                            self.grid_params[k]).dtype, np.number):
+                        params.append(k)
         else:
             params = list(input_parameters)
         n = len(params)
@@ -364,10 +398,15 @@ class GridFitter:
         for k, par in enumerate(params):
             ax = axes[k // ncol][k % ncol]
             for igrid in grid_names:
+                self._use(igrid)
+                if par not in self.grid_params.keys():
+                    continue                    # parameter not in this grid
                 vals, prob = self.parameter_posteriors(igrid, data_name,
                                                        par)
                 ax.plot(vals, prob, 'o-', label=igrid)
-                out[par] = (vals, prob)
+                # keyed per grid when several are overlaid
+                out_key = par if len(grid_names) == 1 else (igrid, par)
+                out[out_key] = (vals, prob)
             ax.set_xlabel(par)
             ax.set_ylabel('probability')
         for k in range(n, nrow * ncol):
@@ -488,6 +527,8 @@ def plot_atmosphere(location, bf_filename, gas_names=None, fig=None,
     axX.legend(fontsize=7)
     if label:
         axT.legend(fontsize=8)
+    if fig is None:                   # overlay call: caller passed ax only
+        fig = axT.get_figure()
     fig.tight_layout()
     return fig, ax
 
@@ -502,7 +543,13 @@ def sigma(lnz1, lnz2):
     from scipy import special
 
     lnB = lnz1 - lnz2
-    logp = np.arange(-300.0, 0.0, 0.1)[::-1]
+    # B(p) = -1/(e p ln p) is only invertible on p <= 1/e; the branch
+    # above 1/e makes the interpolation grid non-monotonic, which in the
+    # reference (analyze.py:1513-1522) silently clamps every weak
+    # detection (B < ~2) to a constant ~0.26 sigma.  Restricting the
+    # grid to the invertible branch gives the intended Trotta relation;
+    # strong detections agree with the reference to float precision.
+    logp = np.arange(-300.0, np.log10(1.0 / np.e), 0.1)[::-1]
     P = 10.0 ** logp
     Barr = -1.0 / (np.e * P * np.log(P))
     sig_grid = np.arange(0.1, 100.1, 0.01)

@@ -229,18 +229,31 @@ def get_evaluations(samples_equal, max_logl, model, n_draws, regrid=False,
     binning = False
     um_xgrid = None
     for idraw in draws:
-        x, y, _, _ = model(samples_equal[idraw, :])
+        theta = samples_equal[idraw, :]
+        cls = None
+        if pressure_bands:
+            out = model(theta, return_ptchem=True)
+            # a model may return ((wno, y, offsets, err), cls) to avoid
+            # the second forward run; a bare cls still works below
+            if (isinstance(out, tuple) and len(out) == 2
+                    and isinstance(out[0], tuple)):
+                (x, y, _, _), cls = out
+            else:
+                cls = out
+                x, y, _, _ = model(theta)
+        else:
+            x, y, _, _ = model(theta)
         if isinstance(regrid, np.ndarray):
             _, y = mean_regrid(x, y, newx=regrid)
             binning, um_xgrid = True, 1e4 / regrid
-        elif isinstance(regrid, float):
+        elif isinstance(regrid, (int, float)) and not isinstance(
+                regrid, bool):
             wno_x, y = mean_regrid(x, y, R=regrid)
             binning, um_xgrid = True, 1e4 / wno_x
         else:
             um_xgrid = 1e4 / x
         spectra.append(np.asarray(y))
         if pressure_bands:
-            cls = model(samples_equal[idraw, :], return_ptchem=True)
             if isinstance(cls, dict):
                 cls = cls[list(cls.keys())[0]]
             chem = cls.inputs['atmosphere']['profile']

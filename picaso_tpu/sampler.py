@@ -76,7 +76,13 @@ def ensemble_sample(log_prob_fn, p0, nsteps, seed=0, a=2.0, vectorized=True,
 class NestedResult(dict):
     """Dict with attribute access: samples, logwt, logz, logl, niter."""
 
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, name):
+        # AttributeError (not KeyError) for missing names so hasattr,
+        # 3-arg getattr, and copy.deepcopy's dunder probes behave
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
 
 
 # ---------------------------------------------------------------------------
@@ -232,17 +238,29 @@ def _replace_point(rng, u, logl, logl_star, worst, ells, loglike_batch,
 
 
 def _ns_run(loglike_batch, prior_transform, ndim, nlive, rng, dlogz=0.5,
-            max_iter=100000, walks=25, logl_min=-np.inf, u_seed=None,
+            max_iter=100000, walks=25, u_seed=None,
             first_update=None, verbose=False, checkpoint=None,
             state=None):
-    """One nested-sampling run above ``logl_min``.
+    """One nested-sampling run.
 
     Returns (dead_u, dead_v, dead_logl, n_at_death) where n_at_death is
     the number of live points when each dead point was removed — the
     varying-n bookkeeping that makes runs mergeable (dynamic nested
     sampling, Higson et al. 2019)."""
+    logz = -1e300
+    logvol = 0.0
     if state is not None:
-        (u, v, logl, dead_u, dead_v, dead_logl, n_at, it) = state
+        # 10-tuple since the logz/logvol fix; accept the old 8-tuple
+        # (termination stats then rebuild conservatively)
+        if len(state) == 10:
+            (u, v, logl, dead_u, dead_v, dead_logl, n_at, it,
+             logz, logvol) = state
+        else:
+            (u, v, logl, dead_u, dead_v, dead_logl, n_at, it) = state
+            if len(dead_logl):
+                logwt, logz = _weights_from_run(np.asarray(dead_logl),
+                                                np.asarray(n_at))
+                logvol = -len(dead_logl) / nlive
     else:
         if u_seed is not None:
             u = u_seed.copy()
@@ -256,8 +274,6 @@ def _ns_run(loglike_batch, prior_transform, ndim, nlive, rng, dlogz=0.5,
     ells = None
     chol = np.eye(ndim) * 0.1
     stats = {'ell_eff': 1.0, 'ell_tried': 0, 'ell_accepted': 0}
-    logz = -1e300
-    logvol = 0.0
     dlv = 1.0 / nlive
     while it < max_iter:
         if it % max(nlive // 4, 10) == 0 and it >= first_update:
@@ -294,7 +310,7 @@ def _ns_run(loglike_batch, prior_transform, ndim, nlive, rng, dlogz=0.5,
         if checkpoint is not None and it % 100 == 0:
             with open(checkpoint, 'wb') as f:
                 pickle.dump((u, np.asarray(v), logl, dead_u, dead_v,
-                             dead_logl, n_at, it), f)
+                             dead_logl, n_at, it, logz, logvol), f)
     # retire remaining live points with shrinking n
     order = np.argsort(logl)
     for j, i in enumerate(order):
@@ -366,12 +382,30 @@ def nested_sample(loglike_fn, prior_transform, ndim, nlive=200,
         sorted_logl = np.sort(dead_logl)
         lo = sorted_logl[np.searchsorted(csum, (1 - frac_remain) / 2)]
         nb = nlive_batch or nlive
-        # seed the batch from dead points above the bound
+        # Seed the batch with (approximately) UNIFORM prior draws above
+        # lo: each seed is an independent likelihood-constrained
+        # replacement draw at threshold lo (ellipsoid rejection + walk),
+        # exactly how in-run replacements are made.  Perturbed dead
+        # points would be logX-distributed, not volume-uniform, which
+        # breaks the shrinkage bookkeeping the Higson merge relies on.
         pool = dead_u[dead_logl > lo]
+        pool_logl = dead_logl[dead_logl > lo]
         if len(pool) >= 2 * ndim:
-            seeds = pool[rng.choice(len(pool), nb)]
-            seeds = np.clip(seeds + 1e-3 * rng.standard_normal(
-                seeds.shape), 1e-10, 1 - 1e-10)
+            ells_b = _bounding_ellipsoids(pool, rng)
+            cov_b = np.cov(pool.T) + 1e-10 * np.eye(ndim)
+            try:
+                chol_b = np.linalg.cholesky(cov_b)
+            except np.linalg.LinAlgError:
+                chol_b = np.eye(ndim) * 0.1
+            stats_b = {'ell_eff': 1.0, 'ell_tried': 0, 'ell_accepted': 0}
+            seeds = np.empty((nb, ndim))
+            for i in range(nb):
+                seeds[i], _ = _replace_point(
+                    rng, pool, pool_logl, float(lo),
+                    int(rng.integers(len(pool))), ells_b,
+                    lambda x: np.asarray(loglike_batch(
+                        np.asarray(prior_transform(x)))),
+                    walks, chol_b, stats_b)
             bd_u, bd_v, bd_logl, bd_n = _ns_run(
                 loglike_batch, prior_transform, ndim, nb, rng,
                 dlogz=dlogz, max_iter=max_iter, walks=walks,
@@ -387,11 +421,13 @@ def nested_sample(loglike_fn, prior_transform, ndim, nlive=200,
             n_cover = np.interp(all_logl, np.sort(dead_logl),
                                 np.sort(n_at)[::-1], left=nlive,
                                 right=1).astype(float)
-            n_base = np.where(all_logl <= dead_logl.max(), n_cover, 1.0)
+            # a run covers NOTHING above its own max logL
+            n_base = np.where(all_logl <= dead_logl.max(), n_cover, 0.0)
             in_batch = (all_logl > lo) & (all_logl <= bd_logl.max())
             bcover = np.interp(all_logl, np.sort(bd_logl),
                                np.sort(bd_n)[::-1], left=nb, right=1)
-            n_tot = n_base + np.where(in_batch, bcover, 0.0)
+            n_tot = np.maximum(n_base + np.where(in_batch, bcover, 0.0),
+                               1.0)
             dead_u, dead_v, dead_logl = all_u, all_v, all_logl
             n_at = n_tot
 

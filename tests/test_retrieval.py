@@ -637,3 +637,79 @@ def test_grid_fitter_multi_grid_readback(tmp_path):
     assert best['parameters']['teff'] == 900.0
     vals, _ = fitter.parameter_posteriors('a', 'obs', 'teff')
     assert set(vals) == {500.0, 900.0}
+
+
+def test_sigma_trotta_values():
+    """Detection sigmas follow Trotta 2008 Table 2 (regression: the
+    reference's interpolation grid includes the non-invertible p > 1/e
+    branch and clamps every weak detection to a ~0.26-sigma constant;
+    analyze.py:1513-1522)."""
+    from picaso_tpu.analyze import sigma
+    s1, _ = sigma(1.0, 0.0)      # lnB = 1.0 -> ~2.0 sigma ('weak')
+    s5, _ = sigma(5.0, 0.0)      # lnB = 5.0 -> ~3.6 sigma ('strong')
+    s11, _ = sigma(11.0, 0.0)    # lnB = 11  -> ~5 sigma
+    assert abs(s1 - 2.0) < 0.15
+    assert abs(s5 - 3.6) < 0.15
+    assert abs(s11 - 5.0) < 0.15
+    # weak detections must DECREASE toward lnB=0, not clamp
+    s05, _ = sigma(0.5, 0.0)
+    assert s05 < s1 and s05 > 1.0
+
+
+def test_nested_result_attribute_protocol():
+    """Missing attributes raise AttributeError (not KeyError) so
+    hasattr / deepcopy / 3-arg getattr behave."""
+    import copy
+    from picaso_tpu.sampler import NestedResult
+    r = NestedResult(logz=1.0)
+    assert r.logz == 1.0
+    assert not hasattr(r, 'fitpars')
+    assert getattr(r, 'nope', None) is None
+    r2 = copy.deepcopy(r)
+    assert r2['logz'] == 1.0
+
+
+def test_load_grid_mixed_wavenumber_axes(tmp_path):
+    """Members on different wavenumber grids interpolate onto the first
+    file's axis instead of stacking against the wrong coordinates."""
+    import h5py
+    from picaso_tpu.analyze import GridFitter
+
+    wno_a = np.linspace(1000.0, 2000.0, 40)
+    wno_b = np.linspace(1000.0, 2000.0, 80)
+    for name, wno, scale in (('a', wno_a, 1.0), ('b', wno_b, 2.0)):
+        with h5py.File(tmp_path / f'{name}.h5', 'w') as f:
+            g = f.create_group('spectra')
+            g['wavenumber'] = wno
+            g['fpfs_thermal'] = scale * (wno / 1000.0)
+            f.attrs['tint'] = scale
+    fitter = GridFitter('mix', str(tmp_path), verbose=False)
+    assert fitter.spectra.shape == (2, 40)
+    # the second member's VALUES survive the regrid (it is 2x the first)
+    np.testing.assert_allclose(fitter.spectra[1],
+                               2.0 * fitter.spectra[0], rtol=1e-12)
+
+
+def test_plot_atmosphere_overlay_ax_only(tmp_path):
+    """plot_atmosphere(ax=...) without fig= must not crash on
+    tight_layout (regression)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    from picaso_tpu import justdoit as jdi
+    from picaso_tpu.io_utils import save_model_nc
+    from picaso_tpu.analyze import plot_atmosphere
+
+    pr = np.logspace(-4, 2, 15)
+    case = jdi.inputs()
+    case.phase_angle(0)
+    case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.atmosphere(df=pd.DataFrame({
+        'pressure': pr, 'temperature': 900 * (pr / 10) ** 0.1,
+        'H2': 0.85 + 0 * pr, 'H2O': 1e-3 + 0 * pr}))
+    save_model_nc(str(tmp_path / 'm.nc'), case, {})
+    fig0, ax0 = plt.subplots(1, 2)
+    fig, ax = plot_atmosphere(str(tmp_path), 'm.nc', ax=ax0)
+    assert fig is fig0
+    plt.close('all')
