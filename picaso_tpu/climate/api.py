@@ -153,12 +153,22 @@ class _ClimateState:
 
         species = self.chem_grid.species
         weights = tuple(molmass.molecular_weight(s) for s in species)
-        # continuum pair matching on the chem species (atmsetup.py:248-277)
+        # continuum pair matching on the chem species (atmsetup.py:248-277),
+        # INCLUDING the special H-bf / H-ff / H2- continua the host path
+        # builds via Atmosphere.continuum_pairs — dominant opacity for
+        # hot (Teff >~ 2500 K) models
+        avail = self.ck.continuum_molecules
         pairs = []
         for m1 in species:
             for m2 in species:
-                if m1 + m2 in self.ck.continuum_molecules:
+                if m1 + m2 in avail:
                     pairs.append((m1, m2))
+        if 'H-' in species and 'H-bf' in avail:
+            pairs.append(('H-', 'bf'))
+        if 'H' in species and 'e-' in species and 'H-ff' in avail:
+            pairs.append(('H-', 'ff'))
+        if 'H2' in species and 'e-' in species and 'H2-' in avail:
+            pairs.append(('H2-', ''))
         specs = tuple(assemble.classify_continuum(pairs))
         cont_indices = tuple(
             list(self.ck.continuum_molecules).index(s.name) for s in specs)
@@ -204,13 +214,19 @@ class _ClimateState:
             cld_opd=jnp.zeros((nlayer, nwno)),
             cld_g0=jnp.zeros((nlayer, nwno)),
             cld_w0=jnp.zeros((nlayer, nwno)),
-            cond_abunds=jnp.zeros((nlayer, max(len(condensables), 1))))
+            cond_abunds=jnp.zeros((nlayer, max(len(condensables), 1))),
+            it_max=jnp.asarray(10, jnp.int32),
+            egp_stepmax=jnp.asarray(False))
 
     def fused_config(self, it_max, egp_stepmax):
+        """The static config is knob-free: it_max/egp_stepmax ride in
+        ClimateData as traced scalars so per-call changes (it_max 10 vs
+        8, the 250 K egp flip) reuse ONE compiled program."""
         from . import fused
-        return fused.ClimateConfig(it_max=int(it_max),
-                                   egp_stepmax=bool(egp_stepmax),
-                                   **self._config_base)
+        self.data = self.data._replace(
+            it_max=jnp.asarray(int(it_max), jnp.int32),
+            egp_stepmax=jnp.asarray(bool(egp_stepmax)))
+        return fused.ClimateConfig(**self._config_base)
 
     def premix(self, temp, pressure_bar):
         """Equilibrium-chemistry refresh at the current T(P)."""
@@ -238,10 +254,10 @@ class _ClimateState:
 
         df = self.premix(temp, pressure_bar)
         grav_si = float(self.gravity) / 100.0
+        mmw_layer = self._mmw_layer(df)
+        dtdp = np.diff(np.log(temp)) / np.diff(np.log(pressure_bar))
         if self.self_consistent_kzz and self.last_fluxes is not None:
             fnil, fpit = self.last_fluxes
-            mmw_layer = self._mmw_layer(df)
-            dtdp = np.diff(np.log(temp)) / np.diff(np.log(pressure_bar))
             kz = kzz_mod.get_kzz(pressure_bar, temp, grav_si,
                                  np.asarray(self.tidal), fnil, fpit,
                                  self.adiabat, self.last_nstr, mmw_layer,
@@ -253,10 +269,8 @@ class _ClimateState:
         self.bundle.inputs['atmosphere'].setdefault('kzz', {})
         self.bundle.inputs['atmosphere']['kzz']['sc_kzz'] = kz
 
-        mmw_layer = self._mmw_layer(df)
         scale_h = (1.38e-16 * temp[:-1]
                    / (mmw_layer * 1.66e-24 * float(self.gravity)))
-        dtdp = np.diff(np.log(temp)) / np.diff(np.log(pressure_bar))
         qlv, _ = chemistry.quench_levels(
             pressure_bar, temp, dtdp, kz, mmw_layer, scale_h, grav_si,
             x_h2o=np.asarray(df.get('H2O', pd.Series(np.zeros(len(temp))))),
@@ -275,7 +289,7 @@ class _ClimateState:
             self.bundle.cold_trap()
         return self.bundle.inputs['atmosphere']['profile']
 
-    def update_clouds(self, temp, pressure_bar, df):
+    def update_clouds(self, temp, pressure_bar):
         """virga microphysics at the current structure (climate.py:
         2842-2925 semantics); returns a .cld dataframe."""
         from .. import virga as vj
@@ -365,12 +379,29 @@ class _ClimateState:
 
 
 def _reconstruct_host(state, temp, pressure_bar, nstr, nofczns):
-    """Adiabatic re-stitch of convective zones (climate.py:3056-3067)."""
+    """Adiabatic re-stitch of convective zones (climate.py:3037-3067);
+    with moist set, the stitch follows the moist adiabat at the current
+    chemistry (climate.py:3053)."""
     zones = core.zone_maps(nstr, nofczns, len(temp))
+    moist_args = None
+    if state.moist and state.condensables:
+        moist_args = (state.data.cond_abunds, state.condensables,
+                      jnp.asarray(state._config_base['cond_weights']))
     t = core.reconstruct_profile(jnp.asarray(temp), zones,
                                  jnp.asarray(pressure_bar * PCONV),
-                                 state.adiabat)
+                                 state.adiabat, moist_args=moist_args)
     return np.asarray(t)
+
+
+def _update_cond_abunds(state, df):
+    """Refresh the condensable layer abundances the moist adiabat reads
+    (fused.ClimateData.cond_abunds) from a host-side chemistry profile."""
+    if not (state.moist and state.condensables):
+        return
+    lvl = np.stack([np.asarray(df[c], float)
+                    for c in state.condensables], axis=1)
+    lay = 0.5 * (lvl[1:] + lvl[:-1])
+    state.data = state.data._replace(cond_abunds=jnp.asarray(lay))
 
 
 def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
@@ -389,6 +420,10 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
     temp_old = temp.copy()
     conv_flag = 0
     result = None
+    # cloud-stability gate (climate.py:2913-2915/3227): taudif stays 0
+    # for cloud-free runs so the gate is inert there
+    taudif, taudif_tol = 0.0, 1.0
+    opd_prev = None
     host_path = state.diseq or state.cloudy
     state.last_nstr = list(nstr)
     temp_dev = jnp.asarray(temp)
@@ -403,12 +438,19 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                 df = state.update_diseq_chem(temp, pressure_bar)
             else:
                 df = state.premix(temp, pressure_bar)
+            _update_cond_abunds(state, df)
             cld_df = None
             if state.cloudy:
                 if state.last_fluxes is None and not state.diseq:
                     state.bundle.inputs['atmosphere'].setdefault(
                         'kzz', {})['sc_kzz'] = np.zeros(len(temp)) + 1e9
-                cld_df, _ = state.update_clouds(temp, pressure_bar, df)
+                cld_df, _ = state.update_clouds(temp, pressure_bar)
+                opd_new = np.asarray(cld_df['opd'], float)
+                if opd_prev is not None and len(opd_prev) == len(opd_new):
+                    taudif = float(np.max(np.abs(opd_new - opd_prev)))
+                    taudif_tol = float(
+                        0.4 * np.max(0.5 * (opd_new + opd_prev)))
+                opd_prev = opd_new
             props, atm = state.build_props_host(df, cld_df=cld_df)
             temp_dev, converged, fnil, fnvl, fpit = fused.newton_solve(
                 jnp.asarray(temp), props, zones, state.data, state.geom,
@@ -436,7 +478,7 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                              temperature=temp)
         result = (np.asarray(dtdp), np.asarray(fnil), np.asarray(fnvl),
                   np.asarray(fpit))
-        if iii > 0 and ert < convt:
+        if iii > 0 and ert < convt and taudif < taudif_tol:
             conv_flag = 1
             break
 
@@ -460,15 +502,36 @@ def find_strat(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
     nstr = list(nstr)
 
     def conv_grad(temp):
+        """convec (climate.py:570-608): dry or moist adiabatic gradient
+        per layer at the CURRENT chemistry."""
         tbar = 0.5 * (temp[1:] + temp[:-1])
         pbar = np.sqrt(pressure_bar[1:] * pressure_bar[:-1])
-        grad_x, _ = core.did_grad_cp(jnp.asarray(tbar), jnp.asarray(pbar),
-                                     state.adiabat)
+        if state.moist and state.condensables:
+            from .. import chemistry as chem_mod
+            from .moist import moist_grad
+            mix = chem_mod.chem_interp(state.chem_grid,
+                                       jnp.asarray(tbar),
+                                       jnp.asarray(pbar))
+            cols = [state.chem_grid.species.index(c)
+                    for c in state.condensables]
+            cond = jnp.asarray(mix)[:, jnp.asarray(cols)].T
+            weights = jnp.asarray(
+                state._config_base['cond_weights'])
+            grad_x, _ = moist_grad(jnp.asarray(tbar), jnp.asarray(pbar),
+                                   state.adiabat, cond,
+                                   state.condensables, weights)
+        else:
+            grad_x, _ = core.did_grad_cp(jnp.asarray(tbar),
+                                         jnp.asarray(pbar),
+                                         state.adiabat)
         return np.asarray(grad_x)
 
     args = dict(it_max=8, itmx=5, conv=5.0, convt=3.0, x_max_mult=7.0,
                 final=False, save_profile=save_profile)
 
+    # grad_x is computed ONCE at entry (reference climate.py:2647 never
+    # refreshes it through the growth loops — only dtdp updates); kept
+    # for zone-boundary trace parity with the reference
     grad_x = conv_grad(temp)
     while dtdp[nstr[1] - 1] >= subad * grad_x[nstr[1] - 1]:
         ratio = dtdp[nstr[1] - 1] / grad_x[nstr[1] - 1]
@@ -480,7 +543,6 @@ def find_strat(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
             print('find_strat: grow upper zone ->', nstr)
         (flag, temp, dtdp, fni, fnv, fpit) = profile(
             state, nofczns, nstr, temp, pressure_bar, **args)
-        grad_x = conv_grad(temp)
 
     # detect a detached second zone by superadiabaticity (climate.py:2679)
     dt_max, i_max = 0.0, 0
@@ -500,7 +562,6 @@ def find_strat(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
             raise ValueError('Convective-zone overlap')
         (flag, temp, dtdp, fni, fnv, fpit) = profile(
             state, nofczns, nstr, temp, pressure_bar, **args)
-        grad_x = conv_grad(temp)
 
         i_change = 1
         while i_change == 1:
@@ -524,7 +585,6 @@ def find_strat(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                     print('find_strat: adjust ->', nstr)
                 (flag, temp, dtdp, fni, fnv, fpit) = profile(
                     state, nofczns, nstr, temp, pressure_bar, **args)
-                grad_x = conv_grad(temp)
                 d1, d2 = dtdp[nstr[1] - 1], dtdp[nstr[3]]
                 c1, c2 = grad_x[nstr[1] - 1], grad_x[nstr[3]]
             while (nofczns > 1
@@ -539,7 +599,6 @@ def find_strat(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                     print('find_strat: grow lower zone ->', nstr)
                 (flag, temp, dtdp, fni, fnv, fpit) = profile(
                     state, nofczns, nstr, temp, pressure_bar, **args)
-                grad_x = conv_grad(temp)
 
     # final strict-tolerance pass (climate.py:2798-2819)
     final_args = dict(it_max=10, itmx=6, conv=2.0, convt=2.0,
@@ -690,7 +749,7 @@ def _assemble_climate_output(case, state, opacityclass, pressure, temp,
             not isinstance(kz.get('sc_kzz'), int):
         out['kzz'] = np.asarray(kz['sc_kzz'])
     if state.cloudy:
-        cld_df, cld_out = state.update_clouds(temp, pressure, chem_df)
+        cld_df, cld_out = state.update_clouds(temp, pressure)
         out['cld_df'] = cld_df
         out['virga_output'] = cld_out
     if save_all_profiles:

@@ -280,14 +280,21 @@ def _pack_residual(flux_net, flux_net_midpt, zones: ZoneMaps):
     return jnp.where(k < zones.n_total, vals, 0.0)
 
 
-@partial(jax.jit, static_argnames=('compute_reflected',))
+@partial(jax.jit, static_argnames=('compute_reflected', 'controls_tuple'))
 def _flux_state(temp, props, plevel, geom, wno, dwno, gauss_wts,
                 surf_reflect, F0PI, controls_tuple, zones, rfaci, rfacv,
-                tidal, compute_reflected):
+                tidal, compute_reflected, fnv_fixed=None, fnvl_fixed=None):
+    """``fnv_fixed``/``fnvl_fixed``: with fixed optical properties the
+    visible (reflected-stellar) fluxes are temperature-independent, so
+    Newton trial states reuse the ones computed at t_start entry instead
+    of re-running (or worse, DROPPING) the reflected pass — matching the
+    reference's carried flux_net_v (climate.py:1425-1427)."""
     controls = toon.ScatteringControls(*controls_tuple)
     fni, fnil, fpit, fnv, fnvl = climate_fluxes(
         temp, props, plevel, geom, wno, dwno, gauss_wts, surf_reflect,
         F0PI, controls, compute_reflected)
+    if fnv_fixed is not None:
+        fnv, fnvl = fnv_fixed, fnvl_fixed
     flux_net = rfaci * fni + rfacv * fnv + tidal
     flux_net_mid = rfaci * fnil + rfacv * fnvl + tidal
     f_vec = _pack_residual(flux_net, flux_net_mid, zones)
@@ -386,6 +393,10 @@ def t_start(temp, plevel, nstr, nofczns, props: RTProps,
     state = _flux_state(temp, props, plevel, geom, wno, dwno, gauss_wts,
                         surf_reflect, F0PI, controls_tuple, zones, rfaci,
                         rfacv, tidal, compute_reflected)
+    # visible fluxes are fixed for fixed props: computed once, carried
+    # through every Newton trial (reference climate.py:1425-1427)
+    flux_v_fixed = state['flux_net_v']
+    flux_v_layer_fixed = state['flux_net_v_layer']
 
     converged = False
     for its in range(it_max):
@@ -448,7 +459,8 @@ def t_start(temp, plevel, nstr, nofczns, props: RTProps,
             state = _flux_state(temp_trial, props, plevel, geom, wno, dwno,
                                 gauss_wts, surf_reflect, F0PI,
                                 controls_tuple, zones, rfaci, rfacv, tidal,
-                                False)
+                                False, fnv_fixed=flux_v_fixed,
+                                fnvl_fixed=flux_v_layer_fixed)
             f_vec_new = np.asarray(state['f_vec'])[:n_total]
             f = 0.5 * float((f_vec_new ** 2).sum())
 

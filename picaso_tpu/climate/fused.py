@@ -31,8 +31,8 @@ from ..opacities.ck import CKArrays, ck_continuum, interp_premix
 from ..optics import combine_optics
 from ..rt import toon
 from .adiabat import AdiabatGrid
-from .core import (ClimateGeometry, ZoneMaps, reconstruct_profile,
-                   thermal_fluxes, visible_fluxes)
+from .core import (ClimateGeometry, ZoneMaps, _pack_residual,
+                   reconstruct_profile, thermal_fluxes, visible_fluxes)
 
 __all__ = ['ClimateConfig', 'ClimateData', 'profile_step', 'newton_solve']
 
@@ -49,8 +49,6 @@ class ClimateConfig:
     delta_eddington: bool = True
     stream: int = 2
     compute_reflected: bool = True
-    it_max: int = 10
-    egp_stepmax: bool = False
     moist: bool = False
     condensables: tuple = ()
     cond_weights: tuple = ()
@@ -76,6 +74,10 @@ class ClimateData(NamedTuple):
     cld_g0: jnp.ndarray
     cld_w0: jnp.ndarray
     cond_abunds: jnp.ndarray       # [nlayer, ncond] for the moist adiabat
+    # solver knobs as TRACED scalars: distinct (it_max, egp_stepmax)
+    # combinations must not retrigger XLA compilation of this program
+    it_max: jnp.ndarray = None     # scalar int32 Newton-iteration cap
+    egp_stepmax: jnp.ndarray = None  # scalar bool step-max rule
 
 
 def build_opacities(temp, data: ClimateData, chem: ChemGrid, ck: CKArrays,
@@ -114,9 +116,11 @@ def build_opacities(temp, data: ClimateData, chem: ChemGrid, ck: CKArrays,
                     continue
                 mix_named[m] = (mix_layer[:, sp_index[m]] if m in sp_index
                                 else jnp.zeros(nlayer))
+        electrons = (mix_layer[:, sp_index['e-']] if 'e-' in sp_index
+                     else jnp.zeros(nlayer))
         taugas = taugas + assemble.continuum_tau(
             config.continuum_specs, cont_kappa, mix_named,
-            jnp.zeros(nlayer), coef1, player_bar * PCONV, tlayer, colden,
+            electrons, coef1, player_bar * PCONV, tlayer, colden,
             mmw_layer)[None]
 
     if config.ray_species_rows:
@@ -136,12 +140,9 @@ def build_opacities(temp, data: ClimateData, chem: ChemGrid, ck: CKArrays,
     return props
 
 
-def _pack(flux_net, flux_net_mid, zones: ZoneMaps):
-    lev = flux_net[zones.resid_level]
-    mid = flux_net_mid[zones.resid_level]
-    vals = jnp.where(zones.resid_is_level.astype(bool), lev, mid)
-    k = jnp.arange(vals.shape[0])
-    return jnp.where(k < zones.n_total, vals, 0.0)
+# residual packing is shared with the host solver so the two paths can
+# never drift apart numerically
+_pack = _pack_residual
 
 
 def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
@@ -235,19 +236,21 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
 
         sum_1 = jnp.sum(jnp.where(active, temp_old ** 2, 0.0))
         n_tot_f = zones.n_total.astype(temp.dtype)
-        if config.egp_stepmax:
-            step_max = 0.005 * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
-            step_max_next = step_max_c
-        else:
-            # the reference COMPOUNDS step_max across Newton iterations
-            # (climate.py:907 initial 0.01, :1082 `step_max *= ...`) —
-            # after ~2 iterations the clamp is effectively unbounded.
-            # Deliberate quirk preserved for trace parity.
-            iteration_factor = jnp.maximum(
-                0.01, (config.it_max - its) / config.it_max)
-            step_max = (step_max_c * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
-                        * iteration_factor)
-            step_max_next = step_max
+        # both step-max rules are a handful of scalar ops — select with
+        # where so egp_stepmax stays a traced flag (no recompile when
+        # temp.min() crosses the 250 K threshold between profile calls).
+        # The non-EGP rule COMPOUNDS step_max across Newton iterations
+        # like the reference (climate.py:907 initial 0.01, :1082
+        # `step_max *= ...`) — after ~2 iterations the clamp is
+        # effectively unbounded.  Deliberate quirk kept for trace parity.
+        it_max_f = data.it_max.astype(temp.dtype)
+        iteration_factor = jnp.maximum(
+            0.01, (it_max_f - its.astype(temp.dtype)) / it_max_f)
+        step_egp = 0.005 * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
+        step_cmp = (step_max_c * jnp.maximum(jnp.sqrt(sum_1), n_tot_f)
+                    * iteration_factor)
+        step_max = jnp.where(data.egp_stepmax, step_egp, step_cmp)
+        step_max_next = jnp.where(data.egp_stepmax, step_max_c, step_cmp)
 
         A = jacobian(temp, temp_old, fni, fnil)
         g = A.T @ f_vec
@@ -343,7 +346,7 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
 
     def outer_cond(carry):
         its, _, _, _, _, done, _ = carry
-        return (its < config.it_max) & (~done)
+        return (its < data.it_max) & (~done)
 
     carry0 = (jnp.asarray(0, jnp.int32), temp, fni0, fnil0, fpit0,
               jnp.asarray(False), jnp.asarray(0.01, temp.dtype))

@@ -148,3 +148,48 @@ def test_irradiated_rce_converges():
     assert np.isfinite(t_hot).all()
     # stellar heating warms the upper radiative atmosphere
     assert t_hot[:10].mean() > t_cold[:10].mean() + 25.0
+
+
+def test_t_start_keeps_visible_flux_in_residual():
+    """Irradiated t_start must zero the FULL balance rfaci*F_ir +
+    rfacv*F_v + tidal (regression: the line search re-ran _flux_state
+    with compute_reflected=False, so every iteration after the first
+    solved the non-irradiated problem; reference climate.py:1425-1427
+    carries the temperature-independent visible fluxes instead)."""
+    from picaso_tpu.climate.api import ck_rtprops, _ClimateState
+    from picaso_tpu.climate.adiabat import load_adiabat_grid
+    from picaso_tpu.opacities.ck import load_ck_db
+    from picaso_tpu.rt import toon
+    import pandas as pd
+
+    nlevel = 31
+    ck = synthetic_ck_table(dtype=np.float64)
+    pressure = np.logspace(-4, 2.5, nlevel)
+    guess = np.clip(700.0 * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
+    nstr = [0, nlevel - 8, nlevel - 2, 0, 0, 0]
+
+    prof = pd.DataFrame(dict(pressure=pressure, temperature=guess))
+    for sp, v in (('H2', 0.837), ('He', 0.155), ('H2O', 1e-3),
+                  ('CH4', 3e-4)):
+        prof[sp] = v
+    props, _ = ck_rtprops(prof, ck, gravity=100.0 * 100.0,
+                          dtype=np.float64)
+    tidal = core.tidal_flux(700.0, nlevel)
+    F0PI = np.zeros(len(np.asarray(ck.wno))) + 1e5   # strong irradiation
+    rfacv = 0.5
+    res = core.t_start(
+        guess, pressure * 1e6, nstr, 1, props,
+        core.make_climate_geometry(), np.asarray(ck.wno),
+        np.asarray(ck.arrays.delta_wno), np.asarray(ck.arrays.gauss_wts),
+        0.0, F0PI, toon.ScatteringControls(), load_adiabat_grid(), 1.0,
+        rfacv, np.asarray(tidal), 50.0, 10000.0, it_max=10)
+    # full energy balance at the returned profile, INCLUDING the
+    # visible term, normalized by sigma Teff^4
+    balance = (1.0 * np.asarray(res.flux_net_ir)
+               + rfacv * np.asarray(res.flux_net_v)
+               + np.asarray(tidal))
+    resid = np.abs(balance[:nstr[1]]) / abs(float(tidal[0]))
+    assert np.max(resid) < 5e-3, f'max resid {np.max(resid):.2e}'
+    # and the stellar term actually mattered (non-trivial test)
+    assert np.max(np.abs(rfacv * np.asarray(res.flux_net_v))
+                  / abs(float(tidal[0]))) > 0.05

@@ -100,3 +100,43 @@ def test_convert_flux_units_roundtrip():
     np.testing.assert_allclose(back, f[::-1], rtol=1e-12)
     flam = convert_flux_units(wno, f, 'FLAM')
     np.testing.assert_allclose(flam, (f * 1e-8)[::-1], rtol=1e-12)
+
+
+def test_host_path_threads_moist_adiabat():
+    """The diseq/cloudy HOST path must thread the current condensable
+    abundances into the moist re-stitch (regression: it re-stitched dry
+    and left cond_abunds at zero, silently degenerating moistgrad=True
+    to the dry solve)."""
+    import pandas as pd
+    from picaso_tpu.climate import core
+    from picaso_tpu.climate.api import (_ClimateState, _reconstruct_host,
+                                        _update_cond_abunds)
+
+    opa, case = _setup_case(teff=300, moist=True)
+    tidal = core.tidal_flux(300.0, 31)
+    state = _ClimateState(case, opa, tidal, 1.0, 0.0, 80.0, 4000.0,
+                          moist=True, verbose=False)
+    assert state.condensables, 'chem grid must expose condensables'
+
+    pressure = np.logspace(-4, 2.5, 31)
+    temp = np.clip(380.0 * (pressure / 30) ** 0.1, 250, None)
+    nstr = [0, 12, 29, 0, 0, 0]
+
+    t_dry = _reconstruct_host(
+        type('S', (), {'moist': False, 'condensables': (),
+                       'data': state.data, 'adiabat': state.adiabat,
+                       '_config_base': state._config_base})(),
+        temp, pressure, nstr, 1)
+
+    # saturated condensables -> the moist gradient must change the
+    # stitched convective profile
+    df = pd.DataFrame({'pressure': pressure, 'temperature': temp})
+    for c in state.condensables:
+        df[c] = 5e-3
+    _update_cond_abunds(state, df)
+    assert float(np.max(np.asarray(state.data.cond_abunds))) > 0
+    t_moist = _reconstruct_host(state, temp, pressure, nstr, 1)
+    conv = slice(nstr[1] + 1, nstr[2])
+    assert np.max(np.abs(t_moist[conv] - t_dry[conv])) > 0.1
+    # moist adiabat is shallower: cooler (or equal) at depth
+    assert t_moist[-1] <= t_dry[-1] + 1e-9
