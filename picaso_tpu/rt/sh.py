@@ -420,6 +420,9 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
     return T, Fm, z_down, z_up, b_top_vec, b_surf_vec, aux
 
 
+_GROUPING = 'classic'   # experiment knob: 'classic' | 'incoming'
+
+
 def _solve_sh(T, Fm, z_down, z_up, b_top_vec, b_surf_vec, surf_reflect,
               stream):
     """Assemble the block-tridiagonal system and solve for X.
@@ -427,11 +430,60 @@ def _solve_sh(T, Fm, z_down, z_up, b_top_vec, b_surf_vec, surf_reflect,
     T, Fm: [n, s, s, nw] (angle-independent); z_down/z_up: [nr, n, s, nw];
     b_top_vec/b_surf_vec: [nr, h, nw].  One factorization, nr right-hand
     sides.  Returns X [n, s, nr, nw].
+
+    Two equivalent block-row pairings of the same equation set (top BC,
+    n-1 interface-continuity row pairs, bottom BC):
+
+    - 'classic' (the reference's banded layout, fluxes.py:3260-3320):
+      block-row k = [interface-k pl-rows; interface-(k+1) mn-rows].  Its
+      diagonal block for an optically THIN layer pairs two copies of the
+      same flux functional (exp(-lam dtau) -> 1), which is exactly
+      singular at f32.
+    - 'incoming': block-row k = [interface-k mn-rows;
+      interface-(k+1) pl-rows], making every diagonal block the layer's
+      incoming-field matrix [T[k,:h]; Fm[k,h:]] — nonsingular for thin
+      (det ~ Q1^2 - Q2^2 e^2) AND thick (block-diagonal) layers, so the
+      block-Thomas elimination never meets a degenerate pivot block.
     """
     n, s, _, nw = T.shape
     h = s // 2
     nr = z_down.shape[0]
     zero_blk = jnp.zeros((n - 1, h, s, nw), T.dtype)
+
+    if _GROUPING == 'incoming':
+        # A blocks: rows [f_mn_rows[k-1]; 0] for k>=1
+        A = jnp.concatenate([
+            jnp.zeros((1, s, s, nw), T.dtype),
+            jnp.concatenate([Fm[:-1, :h], zero_blk], axis=1)], axis=0)
+        B_first = jnp.concatenate([T[0, :h][None], Fm[0, h:][None]],
+                                  axis=1)
+        B_mid = jnp.concatenate([-T[1:-1, :h], Fm[1:-1, h:]], axis=1) \
+            if n > 2 else jnp.zeros((0, s, s, nw), T.dtype)
+        B_last = jnp.concatenate([
+            -T[-1, :h][None],
+            (Fm[-1, h:] - surf_reflect * Fm[-1, :h])[None]], axis=1)
+        B = jnp.concatenate([B_first, B_mid, B_last], axis=0)
+        # C blocks: rows [0; -T_pl_rows[k+1]]
+        C = jnp.concatenate([
+            jnp.concatenate([zero_blk, -T[1:, h:]], axis=1),
+            jnp.zeros((1, s, s, nw), T.dtype)], axis=0)
+
+        D_first = jnp.concatenate([
+            b_top_vec - z_down[:, 0, :h],
+            z_down[:, 1, h:] - z_up[:, 0, h:]], axis=1)[:, None]
+        if n > 2:
+            D_mid = jnp.concatenate([
+                z_down[:, 1:-1, :h] - z_up[:, :-2, :h],
+                z_down[:, 2:, h:] - z_up[:, 1:-1, h:]], axis=2)
+        else:
+            D_mid = jnp.zeros((nr, 0, s, nw), T.dtype)
+        D_last = jnp.concatenate([
+            z_down[:, -1, :h] - z_up[:, -2, :h],
+            (b_surf_vec - z_up[:, -1, h:]
+             + surf_reflect * z_up[:, -1, :h])], axis=1)[:, None]
+        D = jnp.concatenate([D_first, D_mid, D_last], axis=1)
+        D = jnp.moveaxis(D, 0, 2)                   # [n, s, nr, nw]
+        return block_tridiag_solve(A, B, C, D)
 
     # A blocks: rows [f_pl_rows[k-1]; 0] for k>=1
     A = jnp.concatenate([
