@@ -664,3 +664,114 @@ def ingest_molecular_1460(molecule, min_wavelength, max_wavelength,
     return _ingest_molecular(molecule, grid_csv, min_wavelength,
                              max_wavelength, og_directory, new_db,
                              new_R=new_R, new_dwno=new_dwno, **kwargs)
+
+
+def kark_ch4_noT(kark_dir, new_wno, temperature=None):
+    """Karkoschka+2010 optical CH4 WITHOUT temperature dependence
+    (get_kark_CH4_noTdependence, opacity_factory.py:1058-1104): the
+    published 10-nm band table (``kark_beers.csv``) tabulates a Beer-law
+    coefficient every 2 nm; cells marked ``=`` instead carry 4-term
+    exponential-sum fits (``kark_four_term.csv``), any other non-numeric
+    marker a 2-term fit (``kark_two_term.csv``), each collapsed with the
+    tabulated Gauss weights (``kark_gauss_weights.csv``).  ``temperature``
+    is accepted for reference-signature parity and ignored (that is the
+    point of this variant).  Returns cm2/molecule on ``new_wno``
+    (1e-33 outside the table's coverage)."""
+    del temperature
+    beers = pd.read_csv(os.path.join(kark_dir, 'kark_beers.csv'),
+                        sep=r'\s+')
+    two = pd.read_csv(os.path.join(kark_dir, 'kark_two_term.csv'),
+                      sep=r'\s+').set_index('wavelength(nm)')
+    four = pd.read_csv(os.path.join(kark_dir, 'kark_four_term.csv'),
+                       sep=r'\s+').set_index('wavelength(nm)')
+    wts = pd.read_csv(os.path.join(kark_dir, 'kark_gauss_weights.csv'),
+                      sep=r'\s+')
+    w4 = wts.loc[wts['number'] == 4,
+                 [str(i) for i in range(1, 5)]].values.ravel()
+    w2 = wts.loc[wts['number'] == 2,
+                 [str(i) for i in range(1, 3)]].values.ravel()
+    sum4 = (four[['coef1', 'coef2', 'coef3', 'coef4']].values
+            @ w4)
+    sum4 = pd.Series(sum4, index=four.index)
+    sum2 = pd.Series(two[['coef1', 'coef2']].values @ w2, index=two.index)
+
+    wave_nm, kappa = [], []
+    for _, row in beers.iterrows():
+        base = float(row['wavelength(nm)'])
+        for c in ('0', '2', '4', '6', '8'):
+            iwave = base + float(c)
+            wave_nm.append(iwave)
+            try:
+                kappa.append(float(row[c]))
+            except (TypeError, ValueError):
+                table = sum4 if str(row[c]) == '=' else sum2
+                kappa.append(float(table.loc[iwave]))
+    # km-amagat -> cm2/g -> cm2/molecule, ascending wavenumber
+    kappa = np.asarray(kappa)[::-1] / 71.80 * 1.6726219e-24 * 16
+    wno_kark = (1e4 / (np.asarray(wave_nm) * 1e-3))[::-1]
+    return np.interp(new_wno, wno_kark, kappa, left=1e-33, right=1e-33)
+
+
+def _rebin_fold(x, bins, reduce):
+    """Fold ``x`` into rows of ``bins`` samples and reduce each row
+    (vectorize_rebin_median / vectorize_rebin_mean,
+    opacity_factory.py:1151-1174): a partial final row is reduced over
+    its REAL samples only (the reference zero-pads then patches the last
+    row; same result).  Also handles the exact-fold case, which the
+    reference's off-by-one row count would crash on."""
+    x = np.asarray(x, np.float64)
+    mod = len(x) % bins
+    if mod == 0:
+        return reduce(x.reshape(-1, bins), axis=1)
+    out = np.empty(len(x) // bins + 1)
+    out[:-1] = reduce(x[:len(x) - mod].reshape(-1, bins), axis=1)
+    out[-1] = reduce(x[len(x) - mod:])
+    return out
+
+
+def ingest_molecular_1060_median(molecule, min_wavelength, max_wavelength,
+                                 new_R, og_directory, new_db,
+                                 old_R=6e6, min_grid_wavelength=0.3,
+                                 floor=1e-33):
+    """Median-rebin variant of the 1060-grid resample
+    (vresample_and_insert_molecular, opacity_factory.py:1174-1260): the
+    source cross sections are interpolated onto a uniform-dwno hi-res
+    working grid (dwno set by ``old_R`` at ``min_grid_wavelength``) and
+    each output bin takes the MEDIAN of its samples, where the stride
+    variant (:func:`ingest_molecular_1060`) takes every BIN'th point;
+    the output wavenumber grid takes the bin means.  The reference marks
+    this slower/equivalent — kept for tooling parity."""
+    min_wno, max_wno = 1e4 / max_wavelength, 1e4 / min_wavelength
+    dwno_new = 1e4 / (max_wavelength * new_R)
+    dwno_old = 1e4 / (min_grid_wavelength * old_R)
+    interp_grid = np.arange(min_wno, max_wno, dwno_old)
+    bins = int(dwno_new / dwno_old)
+    new_grid = _rebin_fold(interp_grid, bins, np.mean)
+
+    grid_df = pd.read_csv(os.path.join(og_directory, 'grid1060.csv'),
+                          dtype=str)
+    pres = grid_df['pressure_bar'].values.astype(float)
+    temp = grid_df['temperature_K'].values.astype(float)
+    ifile = grid_df['file_number'].values.astype(int)
+    mol_dir = os.path.join(og_directory, molecule)
+    ftype = _detect_format(mol_dir)
+    numw = delwn = start = None
+    if ftype in ('fortran_binary', 'python', 'h5'):
+        numw, delwn, start = _wave_layout(mol_dir, grid_df)
+
+    if not _table_exists(new_db, 'molecular'):
+        build_skeleton(new_db)
+    cur, conn = connect(new_db)
+    for i, p, t in zip(ifile, pres, temp):
+        dset, og_wno = _read_pt_file(ftype, mol_dir, molecule, int(i),
+                                     p, t, numw, delwn, start)
+        dset = np.interp(interp_grid, og_wno, dset, right=floor,
+                         left=floor)
+        y = _rebin_fold(dset, bins, np.median)
+        cur.execute('INSERT INTO molecular (ptid, molecule, temperature, '
+                    'pressure, opacity) values (?,?,?,?,?)',
+                    (int(i), molecule, float(t), float(p), y))
+    conn.commit()
+    conn.close()
+    insert_wno_grid(new_db, new_grid)
+    return new_grid

@@ -93,6 +93,10 @@ class SpectrumConfig:
     sh_w_multi_rayleigh: int = 1
     sh_psingle_rayleigh: int = 1
     sh_single_form: int = 0
+    # SH working precision: 'auto' = f64 when x64 is enabled (oracle-
+    # compatible), else the f32 incoming-grouping path (rt/sh.py
+    # precision note; max relative error ~2e-3, in-process on TPU)
+    sh_precision: str = 'auto'
     test_mode: Optional[str] = None
     hard_surface: bool = False
     reflected: bool = True
@@ -252,7 +256,8 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                 w_single_rayleigh=config.sh_w_single_rayleigh,
                 w_multi_rayleigh=config.sh_w_multi_rayleigh,
                 psingle_rayleigh=config.sh_psingle_rayleigh,
-                single_form=config.sh_single_form)
+                single_form=config.sh_single_form,
+                precision=config.sh_precision)
             out['albedo'] = disco_mod.compress_disco(
                 xint, scene.gweight, scene.tweight, scene.cos_theta,
                 scene.F0PI)
@@ -260,7 +265,8 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
             flux_top, _ = sh_mod.thermal_sh(
                 scene.tlevel, props, scene.plevel, scene.ubar1,
                 scene.surf_reflect, grid.wno, stream=config.stream,
-                hard_surface=config.hard_surface)
+                hard_surface=config.hard_surface,
+                precision=config.sh_precision)
             out['thermal'] = disco_mod.compress_thermal(
                 flux_top, scene.gweight, scene.tweight)
         if config.transmission:

@@ -42,48 +42,50 @@ from .toon import ScatteringControls, blackbody, _dither_u0
 __all__ = ['block_tridiag_solve', 'reflected_sh', 'thermal_sh', 'legP']
 
 _CLIP = 35.0
-# The SH mode-coefficient system is a two-point BVP whose blocks go
-# singular as lam*dtau -> 0 (growing/decaying exponential modes
-# degenerate for optically thin layers): its condition number scales
-# like 1/dtau^2, so BOTH the assembly and the block-Thomas solve need
-# float64 — measured at f32 on the production-shaped bench problem the
-# albedo error is O(10-100%) broadband (the f32-rounded matrix entries
-# alone, exp(-lam dtau) -> 1.0 exactly, already destroy the solution;
-# this is not fixable in the solver).  The reference only ever runs
-# this path in float64 scipy (fluxes.py:3610-3628).  On TPU, XLA
-# implements f64 as double-single f32 pairs — slower than f32 but
-# correct, and with the angle-shared factorization + lanes-last solver
-# above the full SH4 pipeline is minutes-to-milliseconds faster than
-# the round-2 version.  The public entry points promote f32 inputs to
-# f64 internally and cast back; if x64 is disabled, they raise with
-# instructions instead of returning garbage.
+# Precision (round-4 measurement, scripts/sh_f32_probe.py): the SH
+# mode-coefficient system is a two-point BVP whose CLASSIC block-row
+# pairing (the reference's banded layout) yields diagonal blocks that go
+# exactly singular at f32 for optically thin layers (exp(-lam dtau)
+# rounds to 1.0; measured full-f32 SH4 albedo errors up to 1e4x).  With
+# the 'incoming'-field row pairing (see _solve_sh) every pivot block
+# stays nonsingular and THE F32 SOLVE LOSES NOTHING: measured against
+# the f64 reference on the bench problem, full-f32-incoming matches
+# f32-assembly+f64-solve to the last digit — max relative error 6e-5
+# (SH2) / 1.8e-3 (SH4) albedo, ~2e-3 thermal, median ~5e-4 — i.e. the
+# residual error is f32 assembly/intensity rounding, not the solve, and
+# it sits well inside the reference's own golden tolerance (atol 0.01).
+# The reference only ever runs this path in float64 scipy
+# (fluxes.py:3610-3628).  Entry points accept precision='auto' (f64
+# when x64 is enabled — bit-compatible with the oracles — else f32
+# with the incoming grouping), 'f64' (raises if x64 is off), or 'f32'.
 
 
-def _require_f64(arrays):
-    """Promote a pytree of SH inputs to f64 (see conditioning note above).
+def _promote(arrays, precision):
+    """Cast a pytree of SH inputs per the requested precision.
 
-    Returns (promoted_pytree, restore) where restore(x) casts outputs
-    back to the original dtype.
+    Returns (cast_pytree, restore) where restore(x) casts outputs back
+    to the inputs' original dtype.  See the precision note above.
     """
     leaves = jax.tree_util.tree_leaves(arrays)
     dt = jnp.result_type(*[x.dtype for x in leaves
                            if hasattr(x, 'dtype')])
-    if dt == jnp.float64:
-        return arrays, lambda x: x
-    if not jax.config.jax_enable_x64:
+    if precision == 'auto':
+        precision = 'f64' if jax.config.jax_enable_x64 else 'f32'
+    if precision == 'f64' and not jax.config.jax_enable_x64:
         raise ValueError(
-            'The SH 2/4-stream solver needs float64: its layer-mode '
-            'system is ill-conditioned (cond ~ 1/dtau^2 for thin '
-            'layers) and f32 yields O(1) spectral errors. Enable it '
-            'with jax.config.update("jax_enable_x64", True) — float64 '
+            "SH precision='f64' requires float64: enable it with "
+            'jax.config.update("jax_enable_x64", True) — float64 '
             'executes correctly (double-single emulated) on TPU — or '
-            'use the Toon89 path (rt_method="toon") which is '
-            'f32-stable.')
-    promoted = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float64)
+            "use precision='auto'/'f32' (incoming-grouping f32 path, "
+            'max relative error ~2e-3; see rt/sh.py precision note).')
+    target = jnp.float64 if precision == 'f64' else jnp.float32
+    cast = jax.tree_util.tree_map(
+        lambda x: x.astype(target)
         if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
         else x, arrays)
-    return promoted, lambda x: jax.tree_util.tree_map(
+    if target == dt:
+        return cast, lambda x: x
+    return cast, lambda x: jax.tree_util.tree_map(
         lambda y: y.astype(dt), x)
 
 
@@ -104,12 +106,25 @@ def _scaled_bet(exptrm_lam, trans_u1, beta, dtau, eps=1e-4):
     The unscaled form (1 - e^{-beta*dtau})/beta * X2 (fluxes.py:2930-2940,
     beta = 1/u1 - lam) overflows when lam*dtau > ~35; with the scaled
     coefficient X2' = X2/e^{-lam*dtau} it becomes
-    (e^{-lam*dtau} - e^{-dtau/u1})/beta — two decaying exponentials and a
-    removable beta -> 0 singularity (limit dtau*e^{-lam*dtau})."""
-    num = exptrm_lam - trans_u1
-    limit = dtau * exptrm_lam * (1.0 - 0.5 * beta * dtau)
+    (e^{-lam*dtau} - e^{-dtau/u1})/beta.  That difference of NEARBY
+    decaying exponentials cancels catastrophically at f32 around the
+    removable beta -> 0 resonance, so for |beta*dtau| < 1 it is
+    evaluated in the exactly-equivalent departure form
+    e^{-lam*dtau} * (-expm1(-beta*dtau))/beta (zero cancellation; the
+    |beta| < eps Taylor limit covers the 0/0 point).  For
+    |beta*dtau| >= 1 the exponentials differ by >= a factor e and the
+    plain clipped difference is already accurate (and overflow-safe
+    where the expm1 form is not)."""
+    bd = beta * dtau
+    near = jnp.abs(bd) < 1.0
+    em = -jnp.expm1(-jnp.clip(bd, -1.0, 1.0))
     safe = jnp.where(jnp.abs(beta) < eps, 1.0, beta)
-    return jnp.where(jnp.abs(beta) < eps, limit, num / safe)
+    quotient = jnp.where(jnp.abs(beta) < eps,
+                         dtau * (1.0 - 0.5 * bd),
+                         jnp.where(near, em, 1.0) / safe)
+    # |bd| >= 1 implies beta != 0, but guard the division anyway
+    far = (exptrm_lam - trans_u1) / jnp.where(beta == 0.0, 1.0, beta)
+    return jnp.where(near, exptrm_lam * quotient, far)
 
 
 # ---------------------------------------------------------------------------
@@ -420,19 +435,23 @@ def _sh4_system(w0, dtau, tau, a, b, b_top, b_surface, b_surface_sh4,
     return T, Fm, z_down, z_up, b_top_vec, b_surf_vec, aux
 
 
-_GROUPING = 'classic'   # experiment knob: 'classic' | 'incoming'
+def _default_grouping(dtype):
+    """Row-pairing choice by working precision (see _solve_sh)."""
+    return 'classic' if dtype == jnp.float64 else 'incoming'
 
 
 def _solve_sh(T, Fm, z_down, z_up, b_top_vec, b_surf_vec, surf_reflect,
-              stream):
+              stream, grouping=None):
     """Assemble the block-tridiagonal system and solve for X.
 
     T, Fm: [n, s, s, nw] (angle-independent); z_down/z_up: [nr, n, s, nw];
     b_top_vec/b_surf_vec: [nr, h, nw].  One factorization, nr right-hand
     sides.  Returns X [n, s, nr, nw].
 
-    Two equivalent block-row pairings of the same equation set (top BC,
-    n-1 interface-continuity row pairs, bottom BC):
+    ``grouping`` picks between two equivalent block-row pairings of the
+    same equation set (top BC, n-1 interface-continuity row pairs,
+    bottom BC); None = by dtype (classic at f64 for bit-compatibility
+    with the dense oracles, incoming at f32):
 
     - 'classic' (the reference's banded layout, fluxes.py:3260-3320):
       block-row k = [interface-k pl-rows; interface-(k+1) mn-rows].  Its
@@ -443,14 +462,18 @@ def _solve_sh(T, Fm, z_down, z_up, b_top_vec, b_surf_vec, surf_reflect,
       interface-(k+1) pl-rows], making every diagonal block the layer's
       incoming-field matrix [T[k,:h]; Fm[k,h:]] — nonsingular for thin
       (det ~ Q1^2 - Q2^2 e^2) AND thick (block-diagonal) layers, so the
-      block-Thomas elimination never meets a degenerate pivot block.
+      block-Thomas elimination never meets a degenerate pivot block
+      (measured: full-f32 solve error indistinguishable from f64-solve
+      at f32 assembly; scripts/sh_f32_probe.py).
     """
     n, s, _, nw = T.shape
     h = s // 2
     nr = z_down.shape[0]
     zero_blk = jnp.zeros((n - 1, h, s, nw), T.dtype)
+    if grouping is None:
+        grouping = _default_grouping(T.dtype)
 
-    if _GROUPING == 'incoming':
+    if grouping == 'incoming':
         # A blocks: rows [f_mn_rows[k-1]; 0] for k>=1
         A = jnp.concatenate([
             jnp.zeros((1, s, s, nw), T.dtype),
@@ -566,9 +589,11 @@ def _sh_intensity(props, X, eta, u0b, u0, u1, cos_theta, F0PI, stream, aux,
     Pu1 = legP(u1)
 
     # pair the eta source integrals with the DITHERED beam angle used in
-    # the solve (u0b) so near-resonance cancellations stay exact
+    # the solve (u0b) so near-resonance cancellations stay exact; the
+    # (1 - e^{-x})/x quotients use expm1 so thin layers (x -> 0, where
+    # e^{-x} rounds to 1.0 at f32) keep full relative accuracy
     mus = (u1 + u0b) / (u1 * u0b)
-    exptrm_mus = (1 - jnp.exp(-_clip(mus * dtau))) / mus
+    exptrm_mus = -jnp.expm1(-_clip(mus * dtau)) / mus
     exptau_mu = jnp.exp(-_clip(tau[:-1] / u0b))
     expon1 = exptrm_mus * exptau_mu
 
@@ -577,7 +602,7 @@ def _sh_intensity(props, X, eta, u0b, u0, u1, cos_theta, F0PI, stream, aux,
         lam, q = aux['lam'], aux['q']
         alpha = 1 / u1 + lam
         beta_ = 1 / u1 - lam
-        exptrm_alp = (1 - jnp.exp(-_clip(alpha * dtau))) / alpha
+        exptrm_alp = -jnp.expm1(-_clip(alpha * dtau)) / alpha
         exptrm_bet = _scaled_bet(aux['exptrm'], trans_u1, beta_, dtau)
         Aint0 = X[:, 0] * (w_multi[0] - w_multi[1] * Pu1[1] * q) * exptrm_alp
         Aint1 = X[:, 1] * (w_multi[0] + w_multi[1] * Pu1[1] * q) * exptrm_bet
@@ -588,9 +613,9 @@ def _sh_intensity(props, X, eta, u0b, u0, u1, cos_theta, F0PI, stream, aux,
         lam1, lam2, A4 = aux['lam1'], aux['lam2'], aux['A']
         alpha1, alpha2 = 1 / u1 + lam1, 1 / u1 + lam2
         beta1, beta2 = 1 / u1 - lam1, 1 / u1 - lam2
-        e = [(1 - jnp.exp(-_clip(alpha1 * dtau))) / alpha1 * X[:, 0],
+        e = [-jnp.expm1(-_clip(alpha1 * dtau)) / alpha1 * X[:, 0],
              _scaled_bet(aux['exptrm1'], trans_u1, beta1, dtau) * X[:, 1],
-             (1 - jnp.exp(-_clip(alpha2 * dtau))) / alpha2 * X[:, 2],
+             -jnp.expm1(-_clip(alpha2 * dtau)) / alpha2 * X[:, 2],
              _scaled_bet(aux['exptrm2'], trans_u1, beta2, dtau) * X[:, 3]]
         exptrm = jnp.stack(e)
         Aint = sum(w_multi[j] * Pu1[j] * A4[j] for j in range(4)) * exptrm
@@ -620,10 +645,10 @@ def _sh_intensity(props, X, eta, u0b, u0, u1, cos_theta, F0PI, stream, aux,
         for l in range(stream):
             p_single = p_single + w_single[l] * Pu0[l] * Pu1[l]
 
-    exptrm_mus1 = jnp.exp(-_clip(mus * dtau_og))
+    em_mus1 = -jnp.expm1(-_clip(mus * dtau_og))
     intgrl_per_layer = (w0 * multi_scat
                         + w0_og * F0PI / (4 * PI) * p_single
-                        * (1 - exptrm_mus1) * jnp.exp(-tau_og[:-1] / u0)
+                        * em_mus1 * jnp.exp(-tau_og[:-1] / u0)
                         / mus)
 
     xint_bottom = flux_bot / PI
@@ -642,21 +667,24 @@ def _sh_intensity(props, X, eta, u0b, u0, u1, cos_theta, F0PI, stream, aux,
 @partial(jax.jit, static_argnames=('stream', 'controls', 'w_single_form',
                                    'w_multi_form', 'psingle_form',
                                    'w_single_rayleigh', 'w_multi_rayleigh',
-                                   'psingle_rayleigh', 'single_form'))
+                                   'psingle_rayleigh', 'single_form',
+                                   'precision'))
 def reflected_sh(props, surf_reflect, ubar0, ubar1, cos_theta, F0PI,
                  stream=2, controls=ScatteringControls(), w_single_form=0,
                  w_multi_form=0, psingle_form=0, w_single_rayleigh=1,
                  w_multi_rayleigh=1, psingle_rayleigh=1, single_form=0,
-                 b_top=0.0):
+                 b_top=0.0, precision='auto'):
     """Reflected light, SH 2/4-stream; replaces fluxes.py:2675-2976.
 
     The block matrix is factored once; all ng x nt disk angles ride the
     same elimination as extra right-hand sides (see module docstring).
-    Returns xint_at_top [ng, nt, nwno].
+    ``precision``: 'auto' | 'f64' | 'f32' (see the module precision
+    note).  Returns xint_at_top [ng, nt, nwno].
     """
     ng, nt = ubar0.shape
     ((props, surf_reflect, ubar0, ubar1, F0PI),
-     restore) = _require_f64((props, surf_reflect, ubar0, ubar1, F0PI))
+     restore) = _promote((props, surf_reflect, ubar0, ubar1, F0PI),
+                         precision)
 
     dtau, tau, w0 = props.dtau, props.tau, props.w0
     cosb_og = props.cosb_og
@@ -717,16 +745,18 @@ def reflected_sh(props, surf_reflect, ubar0, ubar1, cos_theta, F0PI,
     return restore(xint.reshape(ng, nt, -1))
 
 
-@partial(jax.jit, static_argnames=('stream', 'hard_surface'))
+@partial(jax.jit, static_argnames=('stream', 'hard_surface', 'precision'))
 def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
-               hard_surface=False):
+               hard_surface=False, precision='auto'):
     """Thermal emission, SH 2/4-stream; replaces fluxes.py:2979-3186.
 
-    Returns (flux_at_top [ng, nt, nwno], None).
+    ``precision``: 'auto' | 'f64' | 'f32' (see the module precision
+    note).  Returns (flux_at_top [ng, nt, nwno], None).
     """
     out_dtype = props.dtau.dtype
     ((tlevel, props, plevel, ubar1, surf_reflect),
-     _restore) = _require_f64((tlevel, props, plevel, ubar1, surf_reflect))
+     _restore) = _promote((tlevel, props, plevel, ubar1, surf_reflect),
+                          precision)
     dtau, tau, w0 = props.dtau, props.tau, props.w0
     cosb, cosb_og = props.cosb, props.cosb_og
     nlayer, nwno = dtau.shape
@@ -765,47 +795,50 @@ def thermal_sh(tlevel, props, plevel, ubar1, surf_reflect, wno, stream=2,
 
     def per_angle(u1):
         Pu1 = legP(u1)
-        expdtau = jnp.exp(-_clip(dtau / u1))
+        # em = 1 - e^{-dtau/u1} via expm1: exact for optically thin
+        # layers where the plain difference rounds to 0 at f32
+        em = -jnp.expm1(-_clip(dtau / u1))
+        expdtau = 1.0 - em
         if stream == 2:
             lam, q = aux['lam'], aux['q']
             alpha = 1 / u1 + lam
             beta_ = 1 / u1 - lam
-            exptrm_alp = (1 - jnp.exp(-_clip(alpha * dtau))) / alpha
+            exptrm_alp = -jnp.expm1(-_clip(alpha * dtau)) / alpha
             exptrm_bet = _scaled_bet(aux['exptrm'], expdtau, beta_, dtau)
             Aint0 = (X[:, 0] * (w_multi[0] - w_multi[1] * Pu1[1] * q)
                      * exptrm_alp)
             Aint1 = (X[:, 1] * (w_multi[0] + w_multi[1] * Pu1[1] * q)
                      * exptrm_bet)
             Nint0 = w_multi[0] * ((1 - w0) * u1 / a[0]
-                                  * (b0 * (1 - expdtau)
+                                  * (b0 * em
                                      + b1 * (u1 - (dtau + u1) * expdtau)))
             Nint1 = w_multi[1] * Pu1[1] * ((1 - w0) * u1 / a[0]
-                                           * (b1 * (1 - expdtau) / a[1]))
+                                           * (b1 * em / a[1]))
             multi_scat = Aint0 + Nint0 + Aint1 + Nint1
         else:
             lam1, lam2, A4 = aux['lam1'], aux['lam2'], aux['A']
             alpha1, alpha2 = 1 / u1 + lam1, 1 / u1 + lam2
             beta1, beta2 = 1 / u1 - lam1, 1 / u1 - lam2
-            e = [(1 - jnp.exp(-_clip(alpha1 * dtau))) / alpha1 * X[:, 0],
+            e = [-jnp.expm1(-_clip(alpha1 * dtau)) / alpha1 * X[:, 0],
                  _scaled_bet(aux['exptrm1'], expdtau, beta1, dtau)
                  * X[:, 1],
-                 (1 - jnp.exp(-_clip(alpha2 * dtau))) / alpha2 * X[:, 2],
+                 -jnp.expm1(-_clip(alpha2 * dtau)) / alpha2 * X[:, 2],
                  _scaled_bet(aux['exptrm2'], expdtau, beta2, dtau)
                  * X[:, 3]]
             exptrm = jnp.stack(e)
             Aint = sum(w_multi[j] * Pu1[j] * A4[j]
                        for j in range(4)) * exptrm
             Nint0 = w_multi[0] * ((1 - w0) * u1 / a[0]
-                                  * (b0 * (1 - expdtau)
+                                  * (b0 * em
                                      + b1 * (u1 - (dtau + u1) * expdtau)))
             Nint1 = w_multi[1] * u1 * ((1 - w0) * u1 / a[0]
-                                       * (b1 * (1 - expdtau) / a[1]))
+                                       * (b1 * em / a[1]))
             multi_scat = (Aint[0] + Aint[1] + Aint[2] + Aint[3]
                           + Nint0 + Nint1)
 
         intgrl_per_layer = (w0 * multi_scat * 2 * PI
                             + 2 * PI * (1 - w0) * u1
-                            * (b0 * (1 - expdtau)
+                            * (b0 * em
                                + b1 * (u1 - (dtau + u1) * expdtau)))
 
         if hard_surface:

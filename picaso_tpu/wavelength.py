@@ -59,6 +59,19 @@ def create_grid(min_wavelength, max_wavelength, constant_R):
     return 1e4 / newwl[::-1]
 
 
+def create_grid_minR(min_wavelength, max_wavelength, minimum_R):
+    """Uniform-dwno wavenumber grid with the step set by ``minimum_R`` at
+    ``min_wavelength`` (opacity_factory.py:692-710).  NB: matching the
+    reference exactly, the spectral resolving power wno/dwno equals
+    ``minimum_R`` at the short-wavelength end and FALLS toward longer
+    wavelengths (by min_wavelength/max_wavelength at the red end) —
+    despite the reference docstring's "all_Rs>R" claim.  Returns
+    (wavenumber grid ascending, dwno)."""
+    dwno = 1e4 / (min_wavelength ** 2) * (min_wavelength / minimum_R)
+    grid = np.arange(1e4 / max_wavelength, 1e4 / min_wavelength, dwno)
+    return grid, dwno
+
+
 def conv_non_uniform_R(model_flux, model_wl, R, obs_wl):
     """Convolve a model spectrum with a wavelength-dependent resolving
     power onto an observed wavelength grid (driver.py:338-381).

@@ -1,12 +1,20 @@
-"""Probe: how wrong is the SH path at f32 with the round-3 scaled
-formulation, and which stage loses the precision?
+"""Probe: how wrong is the SH path at f32, and which stage loses the
+precision?
 
 Runs the bench SH problem (nwno=2000) on CPU in an x64 process:
-  1. f64 reference (current production path)
-  2. full-f32 pipeline (bypass _require_f64)
-  3. f32 assembly + f64 solve only
-  4. f64 assembly + f32 solve only
+  1. f64 reference (precision='f64', classic grouping)
+  2. f64 with the incoming grouping (sanity: same answer)
+  3. full f32, incoming grouping (the production precision='f32' path)
+  4. full f32, classic grouping (the reference's row pairing — its thin-
+     layer diagonal blocks are exactly singular at f32)
+  5. f32 assembly + f64 solve (incoming)
+  6. f64 assembly + f32 solve (classic)
 and prints max/median relative error of each vs (1).
+
+Round-4 measured result (recorded in docs/architecture.md): with the
+incoming grouping the f32 SOLVE loses nothing — (3) and (5) agree to the
+last digit at ~6e-5 (SH2) / ~1.8e-3 (SH4) max albedo error, while the
+classic grouping at f32 fails catastrophically (SH4 errors up to 1e4x).
 """
 import dataclasses
 import os
@@ -25,9 +33,9 @@ from picaso_tpu import pipeline
 from picaso_tpu.rt import sh as sh_mod
 
 
-def run(scene, grid, config, stream):
+def run(scene, grid, config, stream, precision='f64'):
     cfg = dataclasses.replace(config, rt_method=1, stream=stream,
-                              use_pallas=False)
+                              use_pallas=False, sh_precision=precision)
     out = pipeline.forward(scene, grid, cfg)
     alb = np.asarray(out['albedo'])
     therm = np.asarray(out['thermal'])
@@ -43,9 +51,7 @@ def relerr(a, b):
 def main():
     scene, grid, config = bench.build_problem(2000, production=False)
 
-    orig_req = sh_mod._require_f64
-    passthrough = lambda arrays: (arrays, lambda x: x)
-
+    orig_grouping = sh_mod._default_grouping
     orig_solve = sh_mod.block_tridiag_solve
 
     def solve_f64(A, B, C, D, pivot=True):
@@ -59,32 +65,42 @@ def main():
         return y.astype(A.dtype)
 
     for stream in (2, 4):
-        ref_alb, ref_th = run(scene, grid, config, stream)
+        ref_alb, ref_th = run(scene, grid, config, stream, 'f64')
 
         results = {}
-        # f64 with the incoming-field grouping (sanity: same answer)
-        sh_mod._GROUPING = 'incoming'
-        jax.clear_caches()
-        results['f64_incoming'] = run(scene, grid, config, stream)
-        # full f32 with the incoming grouping (the candidate fast path)
-        sh_mod._require_f64 = passthrough
-        jax.clear_caches()
-        results['f32_incoming'] = run(scene, grid, config, stream)
-        sh_mod._GROUPING = 'classic'
-        # full f32
-        jax.clear_caches()
-        results['full_f32'] = run(scene, grid, config, stream)
-        # f32 assembly + f64 solve
-        sh_mod.block_tridiag_solve = solve_f64
-        jax.clear_caches()
-        results['f32_asm_f64_solve'] = run(scene, grid, config, stream)
-        # f64 assembly + f32 solve
-        sh_mod._require_f64 = orig_req
-        sh_mod.block_tridiag_solve = solve_f32
-        jax.clear_caches()
-        results['f64_asm_f32_solve'] = run(scene, grid, config, stream)
-        sh_mod.block_tridiag_solve = orig_solve
-        jax.clear_caches()
+        # restore the module on any mid-sweep failure (hazardous if this
+        # script is ever imported rather than run standalone)
+        try:
+            # f64 with the incoming-field grouping (sanity: same answer)
+            sh_mod._default_grouping = lambda dt: 'incoming'
+            jax.clear_caches()
+            results['f64_incoming'] = run(scene, grid, config, stream,
+                                          'f64')
+            sh_mod._default_grouping = orig_grouping
+            jax.clear_caches()
+            # full f32, incoming grouping (the production f32 path)
+            results['f32_incoming'] = run(scene, grid, config, stream,
+                                          'f32')
+            # full f32, classic grouping
+            sh_mod._default_grouping = lambda dt: 'classic'
+            jax.clear_caches()
+            results['f32_classic'] = run(scene, grid, config, stream,
+                                         'f32')
+            sh_mod._default_grouping = orig_grouping
+            # f32 assembly + f64 solve (incoming grouping)
+            sh_mod.block_tridiag_solve = solve_f64
+            jax.clear_caches()
+            results['f32_asm_f64_solve'] = run(scene, grid, config,
+                                               stream, 'f32')
+            # f64 assembly + f32 solve (classic grouping)
+            sh_mod.block_tridiag_solve = solve_f32
+            jax.clear_caches()
+            results['f64_asm_f32_solve'] = run(scene, grid, config,
+                                               stream, 'f64')
+        finally:
+            sh_mod.block_tridiag_solve = orig_solve
+            sh_mod._default_grouping = orig_grouping
+            jax.clear_caches()
 
         print(f'--- SH{stream} ---')
         for k, (alb, th) in results.items():

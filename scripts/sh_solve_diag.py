@@ -168,12 +168,8 @@ def main():
         T, Fm, z_down, z_up, btv, bsv = build_parts(props, stream)
         n, s, _, nw = T.shape
         h = s // 2
-        if stream == 4:
-            btv_ = btv
-        else:
-            btv_ = btv
-        sysc = assemble_current(T, Fm, z_down, z_up, btv_, bsv)
-        sysr = assemble_regrouped(T, Fm, z_down, z_up, btv_, bsv)
+        sysc = assemble_current(T, Fm, z_down, z_up, btv, bsv)
+        sysr = assemble_regrouped(T, Fm, z_down, z_up, btv, bsv)
 
         y64c = np_solve(*sysc, np.float64)
         y64r = np_solve(*sysr, np.float64)

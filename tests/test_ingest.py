@@ -252,3 +252,132 @@ def test_db_utility_helpers(tmp_path):
     n = ingest.delete_molecule('CO', db)
     assert n > 0
     assert ingest.molecular_avail(db) == ['CH4', 'H2O']
+
+
+def test_create_grid_minR_matches_reference(ref_factory):
+    from picaso_tpu.wavelength import create_grid_minR
+    grid, dwno = create_grid_minR(1.0, 5.0, 5000.0)
+    grid_r, dwno_r = ref_factory.create_grid_minR(1.0, 5.0, 5000.0)
+    assert dwno == pytest.approx(dwno_r, rel=1e-14)
+    np.testing.assert_allclose(grid, grid_r, rtol=1e-14)
+    # pinned behavior: R = wno/dwno equals minimum_R at the BLUE end and
+    # falls redward (the reference's "all_Rs>R" docstring is not what
+    # its own arithmetic does — behavior, not docstring, is matched)
+    assert grid.max() / dwno == pytest.approx(5000.0, rel=1e-3)
+    assert (grid / dwno).min() == pytest.approx(5000.0 / 5.0, rel=1e-2)
+
+
+@pytest.fixture(scope='module')
+def kark_dir(tmp_path_factory):
+    """Synthetic Karkoschka band-model tables in the published layout."""
+    root = tmp_path_factory.mktemp('kark')
+    rng = np.random.default_rng(7)
+    bases = np.arange(520.0, 600.0, 10.0)
+    beers_rows = ['wavelength(nm) 0 2 4 6 8']
+    four_rows = ['wavelength(nm) coef1 coef2 coef3 coef4']
+    two_rows = ['wavelength(nm) coef1 coef2']
+    for k, b in enumerate(bases):
+        cells = []
+        for j, c in enumerate((0.0, 2.0, 4.0, 6.0, 8.0)):
+            iw = b + c
+            kind = (k + j) % 3
+            if kind == 0:
+                cells.append(f'{rng.uniform(0.01, 2.0):.4f}')
+            elif kind == 1:
+                cells.append('=')
+                four_rows.append(
+                    f'{iw:.1f} ' + ' '.join(
+                        f'{v:.5f}' for v in rng.uniform(0.01, 1.0, 4)))
+            else:
+                cells.append('*')
+                two_rows.append(
+                    f'{iw:.1f} ' + ' '.join(
+                        f'{v:.5f}' for v in rng.uniform(0.01, 1.0, 2)))
+        beers_rows.append(f'{b:.1f} ' + ' '.join(cells))
+    (root / 'kark_beers.csv').write_text('\n'.join(beers_rows) + '\n')
+    (root / 'kark_four_term.csv').write_text('\n'.join(four_rows) + '\n')
+    (root / 'kark_two_term.csv').write_text('\n'.join(two_rows) + '\n')
+    (root / 'kark_gauss_weights.csv').write_text(
+        'number 1 2 3 4\n'
+        '2 0.6 0.4 0 0\n'
+        '4 0.35 0.3 0.2 0.15\n')
+    return str(root)
+
+
+def test_kark_ch4_noT_matches_reference(kark_dir, ref_factory):
+    new_wno = np.linspace(1e4 / 0.61, 1e4 / 0.50, 400)
+    mine = ingest.kark_ch4_noT(kark_dir, new_wno, 296.0)
+    theirs = ref_factory.get_kark_CH4_noTdependence(kark_dir, new_wno,
+                                                    296.0)
+    np.testing.assert_allclose(mine, np.asarray(theirs, float),
+                               rtol=1e-12)
+    assert mine.min() > 0
+
+
+@pytest.fixture(scope='module')
+def tree_1060(tmp_path_factory):
+    """Synthetic 1060-format source tree: fortran-binary p_N files +
+    grid1060.csv (our layout source) + PTgrid1060.txt (the reference's)."""
+    root = tmp_path_factory.mktemp('raw1060')
+    rng = np.random.default_rng(5)
+    npt = 6
+    temps = np.repeat([300.0, 900.0, 1800.0], 2)
+    pres = np.tile([0.5, 50.0], 3)
+    numw, delwn, start = 120000, 0.01, 4000.0
+    pd.DataFrame({
+        'file_number': np.arange(1, npt + 1),
+        'temperature_K': temps, 'pressure_bar': pres,
+        'number_wave_pts': numw, 'delta_wavenumber': delwn,
+        'start_wavenumber': start}).to_csv(root / 'grid1060.csv',
+                                           index=False)
+    (root / 'PTgrid1060.txt').write_text(
+        'i pressure temperature\n' + '\n'.join(
+            f'{i + 1} {p} {t}' for i, (p, t) in
+            enumerate(zip(pres, temps))) + '\n')
+    og_wno = np.arange(numw) * delwn + start
+    mol_dir = root / 'CH4'
+    mol_dir.mkdir()
+    for i in range(1, npt + 1):
+        c = rng.uniform(og_wno.min(), og_wno.max(), 5)
+        cx = 1e-30 + sum(
+            a / (1 + ((og_wno - cc) / 20.0) ** 2)
+            for a, cc in zip(10 ** rng.uniform(-24, -22, 5), c))
+        cx.astype(np.float64).tofile(mol_dir / f'p_{i}')
+    layout = {'Valid rows': np.full(npt, numw),
+              'Delta Wavenum': np.full(npt, delwn),
+              'Start Wavenum': np.full(npt, start)}
+    return str(root), layout
+
+
+def test_median_resample_matches_reference(tree_1060, ref_factory,
+                                           tmp_path):
+    """ingest_molecular_1060_median vs the reference's
+    vresample_and_insert_molecular (opacity_factory.py:1174), with the
+    reference's astropy.io.fits.open (stubbed by refshim) served the
+    same wave layout our path reads from grid1060.csv."""
+    import types as _types
+    root, layout = tree_1060
+
+    mine = str(tmp_path / 'mine_med.db')
+    new_grid = ingest.ingest_molecular_1060_median(
+        'CH4', 2.0, 2.3, 2000.0, root, mine)
+
+    theirs = str(tmp_path / 'ref_med.db')
+    ref_factory.build_skeleton(theirs)
+    orig_open = ref_factory.fits.open
+    try:
+        ref_factory.fits.open = lambda path: [
+            None, _types.SimpleNamespace(data=layout)]
+        new_grid_r = ref_factory.vresample_and_insert_molecular(
+            'CH4', 2.0, 2.3, 2000.0, root, theirs)
+    finally:
+        ref_factory.fits.open = orig_open
+
+    np.testing.assert_allclose(new_grid, np.asarray(new_grid_r),
+                               rtol=1e-12)
+    rows_m = _fetch_molecular(mine, 'CH4')
+    rows_r = _fetch_molecular(theirs, 'CH4')
+    assert len(rows_m) == len(rows_r) == 6
+    for (i, t, p, a), (i2, t2, p2, b) in zip(rows_m, rows_r):
+        assert (i, float(t), float(p)) == (i2, float(t2), float(p2))
+        np.testing.assert_allclose(a, b, rtol=1e-12)

@@ -134,10 +134,11 @@ def test_thermal_sh_isothermal_limit(stream):
 
 
 def test_sh_f32_deep_atmosphere_stable(dlugach_case):
-    """f32 SH inputs are promoted to f64 internally (the SH layer-mode
-    BVP has cond ~ 1/dtau^2 — f32 arithmetic yields O(1) broadband
-    spectral errors no matter how the solve is arranged), and SH with
-    x64 disabled raises instead of returning quietly-wrong numbers."""
+    """precision handling: 'auto' promotes f32 inputs to f64 when x64 is
+    on (oracle-compatible); with x64 off 'auto' runs the f32
+    incoming-grouping path (accurate to ~2e-3 — see the rt/sh.py
+    precision note) and precision='f64' raises instead of silently
+    downcasting."""
     import jax
     from picaso_tpu.optics import RTProps
     from picaso_tpu.rt.sh import reflected_sh
@@ -181,10 +182,86 @@ def test_sh_f32_deep_atmosphere_stable(dlugach_case):
     assert np.abs(x32 - x64).max() / scale < 1e-4, (
         np.abs(x32 - x64).max(), scale)
 
-    # x64 disabled: refuse rather than return garbage
+    # x64 disabled: precision='f64' refuses rather than downcasting;
+    # 'auto' runs the f32 incoming-grouping path within its documented
+    # accuracy (the deep/thin-layer stack here is the adversarial case)
     with jax.enable_x64(False):
         with pytest.raises(ValueError, match='float64'):
             reflected_sh(build(jnp.float32), jnp.zeros(nwno, jnp.float32),
                          u0.astype(jnp.float32), u0.astype(jnp.float32),
-                         1.0, jnp.ones(nwno, jnp.float32), **kw)
+                         1.0, jnp.ones(nwno, jnp.float32), **kw,
+                         precision='f64')
+        x32_native = np.asarray(reflected_sh(
+            build(jnp.float32), jnp.zeros(nwno, jnp.float32),
+            u0.astype(jnp.float32), u0.astype(jnp.float32),
+            1.0, jnp.ones(nwno, jnp.float32), **kw), np.float64)
+    assert np.isfinite(x32_native).all()
+    assert np.abs(x32_native - x64).max() / scale < 5e-3, (
+        np.abs(x32_native - x64).max(), scale)
     jax.clear_caches()
+
+
+@pytest.mark.parametrize('stream', [2, 4])
+def test_sh_precision_f32_matches_f64(stream):
+    """The precision='f32' path (incoming grouping, expm1-hardened
+    sources) tracks the f64 reference end-to-end for BOTH calculations
+    at both stream counts — the probe-measured error envelope
+    (scripts/sh_f32_probe.py: albedo max ~2e-3, thermal max ~2e-3)
+    with margin.  This is the accuracy contract behind running SH
+    in-process at f32 on TPU (fluxes.py:3610-3628 is f64-scipy-only)."""
+    from picaso_tpu.optics import RTProps
+    from picaso_tpu.rt.sh import reflected_sh, thermal_sh
+    from picaso_tpu.rt.toon import ScatteringControls
+
+    rng = np.random.default_rng(11)
+    nlayer, nwno = 50, 40
+    dtau = np.concatenate([np.full((6, nwno), 3e-7),
+                           np.logspace(-4, 1.8, nlayer - 6)[:, None]
+                           * (1.0 + 0.3 * rng.random((1, nwno)))])
+    tau = np.zeros((nlayer + 1, nwno))
+    tau[1:] = np.cumsum(dtau, 0)
+    w0 = rng.uniform(0.05, 0.999999, (nlayer, nwno))
+    cosb = rng.uniform(0.0, 0.95, (nlayer, nwno))
+    zeros = np.zeros_like(dtau)
+
+    def build(dtype):
+        c = lambda x: jnp.asarray(x, dtype)
+        return RTProps(
+            dtau=c(dtau), tau=c(tau), w0=c(w0), cosb=c(cosb),
+            gcos2=c(zeros), ftau_cld=c(np.ones_like(dtau)),
+            ftau_ray=c(zeros), f_deltaM=c(zeros), dtau_og=c(dtau),
+            tau_og=c(tau), w0_og=c(w0), cosb_og=c(cosb),
+            w0_no_raman=c(w0))
+
+    geom = disco.make_geometry(0, num_gangle=6, num_tangle=1)
+    u0 = jnp.asarray(geom.ubar0)
+    u1 = jnp.asarray(geom.ubar1)
+    kw = dict(stream=stream, controls=ScatteringControls())
+    x64 = np.asarray(reflected_sh(
+        build(jnp.float64), jnp.zeros(nwno), u0, u1, 1.0,
+        jnp.ones(nwno), precision='f64', **kw))
+    x32 = np.asarray(reflected_sh(
+        build(jnp.float32), jnp.zeros(nwno, jnp.float32),
+        u0.astype(jnp.float32), u1.astype(jnp.float32), 1.0,
+        jnp.ones(nwno, jnp.float32), precision='f32', **kw), np.float64)
+    scale = np.abs(x64).max()
+    assert np.abs(x32 - x64).max() / scale < 5e-3, (
+        np.abs(x32 - x64).max() / scale)
+
+    tlevel = np.linspace(1500.0, 300.0, nlayer + 1)[::-1].copy()
+    plevel = np.logspace(-6, 2, nlayer + 1)
+    wno = np.linspace(300.0, 20000.0, nwno)
+    t64, _ = thermal_sh(jnp.asarray(tlevel), build(jnp.float64),
+                        jnp.asarray(plevel), u1, jnp.zeros(nwno),
+                        jnp.asarray(wno), stream=stream, precision='f64')
+    t32, _ = thermal_sh(jnp.asarray(tlevel, jnp.float32),
+                        build(jnp.float32),
+                        jnp.asarray(plevel, jnp.float32),
+                        u1.astype(jnp.float32),
+                        jnp.zeros(nwno, jnp.float32), jnp.asarray(wno),
+                        stream=stream, precision='f32')
+    t64 = np.asarray(t64)
+    t32 = np.asarray(t32, np.float64)
+    tscale = np.abs(t64).max()
+    assert np.abs(t32 - t64).max() / tscale < 5e-3, (
+        np.abs(t32 - t64).max() / tscale)
