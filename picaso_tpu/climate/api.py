@@ -632,7 +632,7 @@ def inputs_climate(case, temp_guess=None, pressure=None, rfaci=1,
 
 def run_climate(case, opacityclass, save_all_profiles=False,
                 with_spec=False, diseq_chem=False, verbose=True,
-                runlog=None, **kwargs):
+                runlog=None, mesh=None, **kwargs):
     """Top-level climate solve (port of justdoit.climate, :4982-5281).
 
     Workflows: chemical equilibrium (fully fused, one dispatch per profile
@@ -642,6 +642,11 @@ def run_climate(case, opacityclass, save_all_profiles=False,
     the loop when ``case.inputs['climate']['cloudy']`` / virga kwargs are
     set).  Full photochemical kinetics requires the external photochem
     package (gated in :mod:`picaso_tpu.photochem`).
+
+    ``mesh``: a ('batch', 'wave') :class:`jax.sharding.Mesh` — the CK
+    and optics arrays are wave-sharded so every fused Newton dispatch of
+    the WHOLE solve (all profile passes + find_strat) runs SPMD across
+    the mesh (:func:`picaso_tpu.parallel.shard_climate_state`).
     """
     ck: CKTable = opacityclass.ck
     teff = case.inputs['planet']['T_eff']
@@ -684,6 +689,9 @@ def run_climate(case, opacityclass, save_all_profiles=False,
                               'moistgrad', False), verbose=verbose)
     state.diseq = bool(diseq_chem)
     state.runlog = runlog
+    if mesh is not None:
+        from ..parallel import shard_climate_state
+        shard_climate_state(state, mesh)
     state.self_consistent_kzz = kwargs.get('self_consistent_kzz', True)
     virga_kwargs = case.inputs['climate'].get('virga_kwargs', {})
     state.cloudy = bool(case.inputs['climate'].get('cloudy', False)

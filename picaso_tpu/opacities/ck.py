@@ -268,13 +268,19 @@ def _load_legacy_ck(ck_db, continuum_db, dtype):
 def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
                                                      'NH3'),
                        ntemp=10, npress=10, seed=7, dtype=np.float32,
-                       with_per_gas=False):
+                       with_per_gas=False, grid661=False):
     """Synthetic premixed CK table on the 196-point EGP grid.
 
     Built from the same band-structured synthetic cross sections as the
     monochromatic factory, with a small spread across gauss points; the
     bundled real CK continuum database supplies the CIA.  Produces a
     solar-ish full_abunds chemistry table.
+
+    ``grid661=True`` builds the table on the 661-bin climate grid
+    (climate_INPUTS/wvno_661, the reference's other production climate
+    resolution — optics.py:1390-1395), with the bundled 196-grid CIA
+    row-interpolated onto it (synthetic-bench fidelity, not a data
+    product).
     """
     from .factory import synthetic_cross_sections
 
@@ -284,6 +290,10 @@ def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
     cur.execute('SELECT wavenumber_grid FROM header')
     wno = cur.fetchone()[0]
     conn.close()
+    if grid661:
+        from ..wavelength import get_cld_input_grid
+        wno = np.sort(np.asarray(get_cld_input_grid(grid661=True),
+                                 np.float64))
     delta_wno = np.zeros(len(wno))
     delta_wno[1:-1] = 0.5 * (wno[2:] - wno[:-2])
     delta_wno[0] = wno[1] - wno[0]
@@ -319,7 +329,20 @@ def synthetic_ck_table(continuum_db=None, molecules=('H2O', 'CH4', 'CO',
                          'N2': 1e-5, 'temperature': T, 'pressure': P})
     abunds = pd.DataFrame(rows)
 
-    cont, cia_temps, cont_mols = _load_continuum(continuum_db, wno, dtype)
+    if grid661:
+        cur, conn = connect(continuum_db)
+        cur.execute('SELECT wavenumber_grid FROM header')
+        wno196 = cur.fetchone()[0]
+        conn.close()
+        cont196, cia_temps, cont_mols = _load_continuum(
+            continuum_db, wno196, dtype)
+        cont = np.zeros(cont196.shape[:2] + (len(wno),), dtype)
+        for im in range(cont196.shape[0]):
+            for it in range(cont196.shape[1]):
+                cont[im, it] = np.interp(wno, wno196, cont196[im, it])
+    else:
+        cont, cia_temps, cont_mols = _load_continuum(continuum_db, wno,
+                                                     dtype)
     arrays = CKArrays(
         wno=jnp.asarray(wno), delta_wno=jnp.asarray(delta_wno),
         gauss_wts=jnp.asarray(gauss_wts, dtype),

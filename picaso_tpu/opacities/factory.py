@@ -68,9 +68,21 @@ def synthetic_cross_sections(molecule, wno, temps, pressures, seed=1234,
 
 def build_synthetic_db(filename, wno, molecules=('H2O', 'CH4', 'CO', 'NH3'),
                        continuum=('H2H2', 'H2He'), ntemp=8, npress=6,
-                       cia_temps=None, seed=1234):
-    """Write a reference-schema sqlite DB with synthetic opacities."""
-    temps, pressures = default_pt_grid(ntemp, npress)
+                       cia_temps=None, seed=1234, pt_layout='regular'):
+    """Write a reference-schema sqlite DB with synthetic opacities.
+
+    ``pt_layout='1060'`` writes the production monochromatic-DB layout:
+    the ragged 1060-point (T, P) grid (60 temperatures x 15-18 pressures
+    each, :func:`production_pt_grid`) with one ``molecular`` row per
+    flat grid point, exactly as the Zenodo R=15k databases are laid out
+    (reference opacity_factory.py:622-740) — so loaders, the ragged
+    ``nc_p`` index math, and golden-test plumbing can be exercised
+    without the 7 GB download.
+    """
+    if pt_layout == '1060':
+        temps_flat, press_flat, _ = production_pt_grid()
+    else:
+        temps, pressures = default_pt_grid(ntemp, npress)
     if cia_temps is None:
         cia_temps = np.linspace(100, 3000, 10)
 
@@ -93,6 +105,17 @@ def build_synthetic_db(filename, wno, molecules=('H2O', 'CH4', 'CO', 'NH3'),
                 'molecule VARCHAR, temperature FLOAT, opacity array)')
 
     for mol in molecules:
+        if pt_layout == '1060':
+            log_sig = np.asarray(_band_sigma_flat(
+                mol, np.asarray(wno), temps_flat, press_flat, seed=seed),
+                np.float64)
+            for ptid0, (T, P) in enumerate(zip(temps_flat, press_flat)):
+                cur.execute('INSERT INTO molecular (molecule, ptid, '
+                            'pressure, temperature, opacity) '
+                            'VALUES (?,?,?,?,?)',
+                            (mol, ptid0 + 1, float(P), float(T),
+                             10.0 ** log_sig[ptid0]))
+            continue
         sigma = synthetic_cross_sections(mol, np.asarray(wno), temps,
                                          pressures, seed=seed)
         ptid = 0

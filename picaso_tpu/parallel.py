@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .opacities.db import OpacityGrid, PTGrid
 from .pipeline import SceneTensors, forward
 
-__all__ = ['make_mesh', 'shard_scene', 'shard_grid', 'sharded_forward']
+__all__ = ['make_mesh', 'shard_scene', 'shard_grid', 'sharded_forward',
+           'shard_climate', 'shard_climate_state', 'sharded_loglike']
 
 
 def make_mesh(n_wave=None, n_batch=1, devices=None):
@@ -103,6 +104,57 @@ def sharded_forward(scene, grid, config, mesh):
     return forward(scene, grid, config)
 
 
+def shard_climate_state(state, mesh: Mesh):
+    """Wave-shard a :class:`~picaso_tpu.climate.api._ClimateState` in
+    place so the FULL climate solve (``run_climate``: profile passes +
+    find_strat) runs SPMD over the mesh's 'wave' axis.
+
+    The host-side orchestration (convective-zone state machine,
+    convergence checks) is untouched; every fused Newton dispatch inside
+    it then consumes wave-sharded CK/optics arrays, so the per-iteration
+    spectral integrals lower to psums over 'wave'.  This is the
+    whole-solve analog of :func:`shard_climate` (which places one
+    batched ``profile_step``)."""
+    import copy
+
+    _, data, ck_arrays = shard_climate(None, state.data, state.ck.arrays,
+                                       mesh)
+    state.data = data
+    # shallow-copy the (mutable, host-side) CKTable so the caller's
+    # opacity connection keeps its unsharded arrays
+    state.ck = copy.copy(state.ck)
+    state.ck.arrays = ck_arrays
+    return state
+
+
+def sharded_loglike(loglike_vec, mesh: Mesh):
+    """Wrap a vectorized ``[n, ndim] -> [n]`` log-likelihood so nested-
+    sampling batches shard over the mesh 'batch' axis.
+
+    The returned callable pads each batch up to a multiple of the mesh
+    batch size, places it with a ('batch', None) sharding, and returns
+    host numpy — a drop-in ``loglike_fn`` for
+    :func:`picaso_tpu.sampler.nested_sample(vectorized=True)`.  Combined
+    with a forward model that closed over ``shard_scene``/``shard_grid``
+    arrays, live points parallelize over 'batch' and wavelength over
+    'wave' — the SPMD replacement for the reference's MPI likelihood
+    pool (driver.py:406-427).
+    """
+    nb = int(mesh.shape['batch'])
+    sh = NamedSharding(mesh, P('batch', None))
+
+    def wrapped(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        npad = (-n) % nb
+        xp = (np.concatenate([x, np.repeat(x[-1:], npad, 0)])
+              if npad else x)
+        out = np.asarray(loglike_vec(jax.device_put(xp, sh)))
+        return out[:n]
+
+    return wrapped
+
+
 def shard_climate(temps, data, ck_arrays, mesh: Mesh):
     """Place a batched climate problem on the mesh.
 
@@ -119,7 +171,8 @@ def shard_climate(temps, data, ck_arrays, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     w_last = NamedSharding(mesh, P(None, 'wave'))
 
-    temps = jax.device_put(jnp.asarray(temps), batch)
+    if temps is not None:
+        temps = jax.device_put(jnp.asarray(temps), batch)
 
     def put_wave_last(x):
         return jax.device_put(

@@ -35,6 +35,7 @@ from .rt.transit import transit_depth
 from . import disco as disco_mod
 
 __all__ = ['SceneTensors', 'SpectrumConfig', 'forward', 'forward_batch',
+           'gather_taugas',
            'stack_scenes', 'scene_from_case']
 
 
@@ -134,19 +135,16 @@ def _raman_factor(config, scene, wno, nwno):
     return jnp.full((nlayer, nwno), 0.99999, dtype)
 
 
-@partial(jax.jit, static_argnames=('config',))
-def forward(scene: SceneTensors, grid: OpacityGrid,
-            config: SpectrumConfig):
-    """Full 1D spectrum in one compiled program.
+def gather_taugas(scene: SceneTensors, grid: OpacityGrid,
+                  config: SpectrumConfig):
+    """The molecular-opacity gather stage alone: taugas [nlayer, nwno].
 
-    Returns a dict of device arrays: albedo [nwno], thermal flux [nwno],
-    transit depth [nwno] (keys present per config flags).
-    """
+    Exactly the first stage of :func:`forward` (Pallas blocked-DMA path
+    or the XLA gather fallback) — exposed so the benchmark's per-stage
+    roofline accounting times the memory-bound gather separately from
+    the VPU-bound RT kernels."""
     nwno = grid.wno.shape[0]
     nlayer = scene.tlayer.shape[0]
-    dtype = scene.cld_opd.dtype
-
-    # ---- gas optics (HBM gather + fused arithmetic) ----
     mix_cols = scene.mix[jnp.asarray([dict(config.mix_index)[grid.molecules[i]]
                                       for i in config.mol_indices])]
     if config.use_pallas:
@@ -164,17 +162,30 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
         for j, i in enumerate(config.mol_indices):
             mixcol = mixcol.at[i].set(mix_cols[j] * colw)
         if grid.log_kappa_blocked is not None:
-            taugas = interp_tau_pallas_blocked(
+            return interp_tau_pallas_blocked(
                 grid.log_kappa_blocked, idx, t_w, p_w, mixcol, nwno,
                 qparams=grid.blocked_qparams)
-        else:
-            taugas = interp_tau_pallas(grid.log_kappa, idx, t_w, p_w,
-                                       mixcol)
-    else:
-        kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
-        kappa = kappa[jnp.asarray(config.mol_indices)]
-        taugas = assemble.molecular_tau(kappa, mix_cols, scene.colden,
-                                        scene.mmw_layer)
+        return interp_tau_pallas(grid.log_kappa, idx, t_w, p_w, mixcol)
+    kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
+    kappa = kappa[jnp.asarray(config.mol_indices)]
+    return assemble.molecular_tau(kappa, mix_cols, scene.colden,
+                                  scene.mmw_layer)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def forward(scene: SceneTensors, grid: OpacityGrid,
+            config: SpectrumConfig):
+    """Full 1D spectrum in one compiled program.
+
+    Returns a dict of device arrays: albedo [nwno], thermal flux [nwno],
+    transit depth [nwno] (keys present per config flags).
+    """
+    nwno = grid.wno.shape[0]
+    nlayer = scene.tlayer.shape[0]
+    dtype = scene.cld_opd.dtype
+
+    # ---- gas optics (HBM gather + fused arithmetic) ----
+    taugas = gather_taugas(scene, grid, config)
     if config.continuum_specs:
         cont = nearest_continuum(grid, scene.tlayer)
         # layer gravity recovered from the column-density definition

@@ -395,6 +395,11 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
         A_ = ((multi_plus * c_plus_up + multi_minus * c_minus_up) * w0
               * (0.5 / np.pi))
 
+        # e_u1 = exp(-dtau/u1) is the sweep transmission AND the factor
+        # in both resonant quotients: exp(+-exptrm - dtau/u1) are exact
+        # products of already-computed exponentials (2 fewer exp sweeps
+        # per disk angle; the VPU-bound stage's hot transcendentals)
+        e_u1 = jnp.exp(-dtau / u1)
         ssterm = ((w0_og * F0PI / (4.0 * np.pi)) * p_single
                   * jnp.exp(-tau_og[:-1] / u0)
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
@@ -403,12 +408,12 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
         msterm = (A_ * (1.0 - jnp.exp(-dtau * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
-                      jnp.exp(exptrm - dtau / u1) - 1.0, den_u1,
+                      exptrm_positive * e_u1 - 1.0, den_u1,
                       (dtau / u1) * (1.0 + 0.5 * dtau * den_u1 / u1))
-                  + H * (1.0 - jnp.exp(-exptrm - dtau / u1))
+                  + H * (1.0 - exptrm_minus * e_u1)
                   / (lamda * u1 + 1.0))
         sc_s[:, sl] = ssterm + msterm
-        tr_s[:, sl] = jnp.exp(-dtau / u1)
+        tr_s[:, sl] = e_u1
 
     def ascend(i, x_below):
         sl = pl.ds(nlayer - 1 - i, 1)
@@ -574,8 +579,10 @@ def _thermal_core(u1_ref, all_b, dtau, w0, cosb, tau_top, surf_reflect,
             fplus_bottom = (all_b[-1:] + b1[-1:] * iubar) * 2.0 * PI
         fbots.append(fplus_bottom)
 
-        exptrm_angle = jnp.exp(-dtau / iubar)
+        # one exp per angle: the full-layer transmission is the square of
+        # the midpoint transmission
         exptrm_angle_mdpt = jnp.exp(-0.5 * dtau / iubar)
+        exptrm_angle = exptrm_angle_mdpt * exptrm_angle_mdpt
         den = lamda * iubar - 1.0
         hdt = dtau / iubar
         up_full = (G * _resonant_ratio(

@@ -259,7 +259,11 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
         A = ((multi_plus * c_plus_up + multi_minus * c_minus_up) * w0
              * (0.5 / PI))
 
-        # layer source terms of the upward recursion (fluxes.py:1381-1407)
+        # layer source terms of the upward recursion (fluxes.py:1381-1407).
+        # trans = exp(-dtau/u1) is reused in both resonant quotients:
+        # exp(+-exptrm - dtau/u1) as exact products of already-computed
+        # exponentials (two fewer exp sweeps per disk angle)
+        trans = jnp.exp(-dtau / u1)
         ssterm = ((w0_og * F0PI / (4.0 * PI)) * p_single
                   * jnp.exp(-tau_og[:-1] / u0)
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
@@ -268,12 +272,11 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
         msterm = (A * (1.0 - jnp.exp(-dtau * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
-                      jnp.exp(exptrm - dtau / u1) - 1.0, den_u1,
+                      exptrm_positive * trans - 1.0, den_u1,
                       (dtau / u1) * (1.0 + 0.5 * dtau * den_u1 / u1))
-                  + H * (1.0 - jnp.exp(-exptrm - dtau / u1))
+                  + H * (1.0 - exptrm_minus * trans)
                   / (lamda * u1 + 1.0))
         src = ssterm + msterm
-        trans = jnp.exp(-dtau / u1)
 
         def ascend(x_below, row):
             t_i, s_i = row
@@ -442,8 +445,10 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
             fplus_bottom = (all_b[-1] + b1[-1] * iubar) * 2.0 * PI
         fminus_top = (1.0 - jnp.exp(-tau_top / iubar)) * all_b[0] * 2.0 * PI
 
-        exptrm_angle = jnp.exp(-dtau / iubar)
+        # one exp per angle: the full-layer transmission is the square of
+        # the midpoint transmission
         exptrm_angle_mdpt = jnp.exp(-0.5 * dtau / iubar)
+        exptrm_angle = exptrm_angle_mdpt * exptrm_angle_mdpt
 
         # downward sweep (fluxes.py:1883-1893); the K terms have
         # removable lamda*ubar -> 1 singularities (see _resonant_ratio)

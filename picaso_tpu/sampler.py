@@ -267,7 +267,9 @@ def _ns_run(loglike_batch, prior_transform, ndim, nlive, rng, dlogz=0.5,
         else:
             u = rng.random((nlive, ndim))
         v = np.asarray(prior_transform(u))
-        logl = np.asarray(loglike_batch(v))
+        # copy: a device-backed loglike returns a read-only numpy view,
+        # and the live set is updated in place
+        logl = np.array(loglike_batch(v))
         dead_u, dead_v, dead_logl, n_at = [], [], [], []
         it = 0
     first_update = first_update or max(nlive // 2, 20)

@@ -46,41 +46,24 @@ requires_db = pytest.mark.skipif(
            'not installed — set picaso_refdata or PICASO_TPU_GOLDEN_DB')
 
 
-@requires_db
-def test_reflected_1d_golden():
-    opacity = jdi.opannection(wave_range=[0.3, 1],
-                              filename_db=_production_db())
-    # with a slice DB only part of [0.3, 1] um is covered; assert there
-    wave_um = 1e4 / np.asarray(opacity.wno)
-    wmin, wmax = wave_um.min(), wave_um.max()
-    golden = pd.read_csv(refdata_path('base_cases', 'testing',
-                                      'reflected_1d_basecase.csv'))
-    gw = 1e4 / np.asarray(golden['wavenumber'])
-    in_win = (gw > wmin * 1.02) & (gw < wmax * 0.98)
-    assert in_win.sum() > 5, 'DB window too narrow for the R=150 golden'
-
-    def check(col, series):
-        wno_b, val_b = jdi.mean_regrid(series[0], series[1], R=150)
-        # align binned output to the golden's wavenumber rows
-        interp = np.interp(np.asarray(golden['wavenumber'])[in_win],
-                           wno_b, val_b)
-        assert np.allclose(np.asarray(golden[col])[in_win], interp,
-                           atol=0.01, equal_nan=True)
-
+def _golden_configs(opacity):
+    """Yield (column, (wavenumber, value)) for the four golden configs of
+    the reference regression (tests/test_notebooks.py:55-143): Jupiter
+    albedo, fpfs, CH4-only atmosphere, exclude_mol."""
     case = jdi.inputs()
     case.phase_angle(0)
     case.gravity(gravity=25, gravity_unit=jdi.u.Unit('m/(s**2)'))
     case.star(opacity, 5000, 0, 4.0)
     case.atmosphere(filename=jdi.jupiter_pt(), sep=r'\s+')
     df = case.spectrum(opacity)
-    check('albedo', (df['wavenumber'], df['albedo']))
+    yield 'albedo', (df['wavenumber'], df['albedo'])
 
     case.star(opacity, 5000, 0, 4.0, semi_major=1,
               semi_major_unit=jdi.u.Unit('au'))
     case.gravity(radius=1, radius_unit=jdi.u.Unit('R_jup'),
                  mass=1, mass_unit=jdi.u.Unit('M_jup'))
     df = case.spectrum(opacity)
-    check('fpfs', (df['wavenumber'], df['fpfs_reflected']))
+    yield 'fpfs', (df['wavenumber'], df['fpfs_reflected'])
 
     n = 60
     case.atmosphere(df=pd.DataFrame({
@@ -89,12 +72,73 @@ def test_reflected_1d_golden():
         'H2': np.zeros(n) + 0.837, 'He': np.zeros(n) + 0.163,
         'CH4': np.zeros(n) + 0.000466}))
     df = case.spectrum(opacity)
-    check('albedo_ch4', (df['wavenumber'], df['albedo']))
+    yield 'albedo_ch4', (df['wavenumber'], df['albedo'])
 
     case.atmosphere(filename=jdi.jupiter_pt(), exclude_mol='H2O',
                     sep=r'\s+')
     df = case.spectrum(opacity)
-    check('albedo_nowater', (df['wavenumber'], df['albedo']))
+    yield 'albedo_nowater', (df['wavenumber'], df['albedo'])
+
+
+def _run_golden_body(db_path, golden):
+    """The full golden regression harness against DataFrame ``golden``."""
+    opacity = jdi.opannection(wave_range=[0.3, 1], filename_db=db_path)
+    # with a slice DB only part of [0.3, 1] um is covered; assert there
+    wave_um = 1e4 / np.asarray(opacity.wno)
+    wmin, wmax = wave_um.min(), wave_um.max()
+    gw = 1e4 / np.asarray(golden['wavenumber'])
+    in_win = (gw > wmin * 1.02) & (gw < wmax * 0.98)
+    assert in_win.sum() > 5, 'DB window too narrow for the R=150 golden'
+
+    for col, (wno, val) in _golden_configs(opacity):
+        wno_b, val_b = jdi.mean_regrid(wno, val, R=150)
+        # align binned output to the golden's wavenumber rows
+        interp = np.interp(np.asarray(golden['wavenumber'])[in_win],
+                           wno_b, val_b)
+        assert np.allclose(np.asarray(golden[col])[in_win], interp,
+                           atol=0.01, equal_nan=True), col
+
+
+@requires_db
+def test_reflected_1d_golden():
+    golden = pd.read_csv(refdata_path('base_cases', 'testing',
+                                      'reflected_1d_basecase.csv'))
+    _run_golden_body(_production_db(), golden)
+
+
+def test_golden_harness_dryrun(tmp_path):
+    """Execute the ENTIRE golden-test body against a synthetic database
+    in the exact production layout — ragged 1060-point (T, P) grid, real
+    sqlite schema, an R=15k wavelength slice — with golden rows generated
+    by the same pipeline (the reference test's create_data=True mode,
+    tests/test_notebooks.py:60).  This proves every moving part of the
+    harness (DB load at production layout, star/gravity/atmosphere
+    wiring, all four configs, R=150 regrid + row alignment + asserts);
+    when a real DB is installed only the CSV numbers remain untested.
+    """
+    from picaso_tpu.opacities import factory
+
+    db = str(tmp_path / 'prod_layout_slice.db')
+    # R=15k sampling over a 0.60-0.70 um slice of the [0.3, 1] window
+    nwno = int(np.log(0.70 / 0.60) * 15000)
+    wno = 1e4 / np.geomspace(0.70, 0.60, nwno)
+    factory.build_synthetic_db(
+        db, wno, molecules=('H2O', 'CH4', 'CO', 'NH3', 'CO2', 'PH3'),
+        pt_layout='1060')
+
+    # create_data pass: run the pipeline once and stamp the golden rows
+    opacity = jdi.opannection(wave_range=[0.3, 1], filename_db=db)
+    assert len(np.asarray(opacity.wno)) == nwno   # full slice loaded
+    cols = {}
+    for col, (wno_out, val) in _golden_configs(opacity):
+        wno_b, val_b = jdi.mean_regrid(wno_out, val, R=150)
+        cols.setdefault('wavenumber', wno_b)
+        cols[col] = val_b
+    golden = pd.DataFrame(cols)
+    golden_csv = tmp_path / 'reflected_1d_basecase.csv'
+    golden.to_csv(golden_csv, index=False)
+
+    _run_golden_body(db, pd.read_csv(golden_csv))
 
 
 def test_golden_file_bundled():

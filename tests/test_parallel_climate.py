@@ -78,6 +78,59 @@ def test_sharded_climate_matches_single_device(climate_problem):
                                rtol=5e-4, atol=5e-4 * np.abs(f_ref).max())
 
 
+def _sliced_ck(stride=4):
+    """synthetic_ck_table with every ``stride``-th wavelength bin — the
+    196-bin grid is fixed by the bundled continuum DB, and the full-solve
+    equality test doesn't need all of it."""
+    from picaso_tpu.opacities.ck import CKTable
+
+    ck = synthetic_ck_table()
+    a = ck.arrays
+    n = len(np.asarray(a.wno))
+    # trim so the sliced bin count divides the 4-way wave mesh
+    sl = np.s_[:(n // (4 * stride)) * 4 * stride:stride]
+    arrays = a._replace(wno=a.wno[sl], delta_wno=a.delta_wno[sl],
+                        ln_kappa=a.ln_kappa[:, :, sl, :],
+                        cont_opa=a.cont_opa[:, :, sl])
+    return CKTable(arrays, ck.molecules, ck.full_abunds, ck.gauss_pts,
+                   ck.temps, ck.pressures, wno=ck.wno[sl],
+                   delta_wno=ck.delta_wno[sl], gauss_wts=ck.gauss_wts)
+
+
+def _rce_case(ck, nlevel=41):
+    opa = jdi.opannection(ck_table=ck, method='preweighted')
+    case = jdi.inputs(calculation='brown', climate=True)
+    case.phase_angle(0)
+    case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.effective_temp(700.0)
+    case.setup_nostar()
+    case.setup_climate()
+    pressure = np.logspace(-4, 2.5, nlevel)
+    guess = np.clip(700.0 * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
+    case.inputs_climate(temp_guess=guess, pressure=pressure,
+                        rcb_guess=nlevel - 8, rfacv=0.0)
+    return case, opa
+
+
+@pytest.mark.slow
+def test_full_climate_solve_sharded_equals_single():
+    """The WHOLE run_climate (both profile passes + find_strat) under a
+    wave-sharded mesh converges to the single-device answer — the
+    whole-solve extension of the per-step equality above."""
+    ck = _sliced_ck()
+    case, opa = _rce_case(ck)
+    ref = case.climate(opa, verbose=False)
+
+    mesh = parallel.make_mesh(n_wave=4, n_batch=2)
+    case2, opa2 = _rce_case(ck)
+    got = case2.climate(opa2, verbose=False, mesh=mesh)
+
+    assert ref['converged'] and got['converged']
+    assert got['cvz_locs'] == ref['cvz_locs']
+    np.testing.assert_allclose(got['temperature'], ref['temperature'],
+                               rtol=1e-4, atol=0.05)
+
+
 @pytest.fixture(scope='module')
 def forward_problem():
     from picaso_tpu.opacities import factory
@@ -94,6 +147,56 @@ def forward_problem():
         pressure, temperature, mix, grid, gravity=2500.0,
         radius=7.1e9, mass=1.9e30, rstar=6.96e10)
     return scene, grid, config
+
+
+def test_mesh_aware_nested_sampler_matches_single(forward_problem):
+    """nested_sample with a mesh-sharded likelihood (live points over
+    'batch', wavelengths over 'wave' via parallel.sharded_loglike)
+    reproduces the single-device posterior: same seed, same dead points,
+    same evidence — the SPMD replacement for the reference's MPI
+    likelihood pool (driver.py:406-427)."""
+    from picaso_tpu.sampler import nested_sample
+
+    scene, grid, config = forward_problem
+    truth = 1.02
+    nwno = len(np.asarray(grid.wno))
+
+    def model_batch(scales, grid_in):
+        def one(s):
+            sc = scene._replace(tlevel=scene.tlevel * s[0],
+                                tlayer=scene.tlayer * s[0])
+            return pipeline.forward(sc, grid_in, config)['albedo']
+        return jax.vmap(one)(scales)
+
+    y = np.asarray(jax.jit(model_batch)(
+        jnp.asarray([[truth]]), grid))[0]
+
+    def prior(u):
+        return 0.9 + 0.3 * u
+
+    @jax.jit
+    def ll_dev(scales, grid_in, y_in):
+        alb = model_batch(scales, grid_in)
+        return -0.5 * jnp.sum((alb - y_in[None]) ** 2, -1) / 1e-6
+
+    ref = nested_sample(
+        lambda x: np.asarray(ll_dev(jnp.asarray(x), grid, jnp.asarray(y))),
+        prior, 1, nlive=50, seed=11, dlogz=0.5)
+
+    mesh = parallel.make_mesh(n_wave=4, n_batch=2)
+    grid_s = parallel.shard_grid(grid, mesh)
+    y_s = jax.device_put(y, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec('wave')))
+    ll_sharded = parallel.sharded_loglike(
+        lambda x: ll_dev(x, grid_s, y_s), mesh)
+    got = nested_sample(ll_sharded, prior, 1, nlive=50, seed=11,
+                        dlogz=0.5)
+
+    # same RNG path + (to fp tolerance) same likelihoods -> identical run
+    assert got.logz == pytest.approx(ref.logz, abs=1e-6)
+    np.testing.assert_allclose(got.samples, ref.samples, rtol=1e-10)
+    mean_ref = float((ref.samples[:, 0] * ref.weights).sum())
+    assert mean_ref == pytest.approx(truth, abs=5e-3)
 
 
 def test_sharded_retrieval_likelihood_matches(forward_problem):

@@ -177,6 +177,49 @@ def test_virtual_cloud_depletes_entering_qt():
         assert q_enter == q_deep
 
 
+def test_compute_am01_eq17_fsed_scaling_table():
+    """AM01 eq. (17) literature pin on the FULL compute() pipeline.
+
+    Ackerman & Marley (2001) close the size distribution with
+    r_eff = r_w fsed^(1/alpha) exp(-(alpha+6)/2 ln^2 sigma) *
+    exp(5/2 ln^2 sigma), where vfall(r_w) = w* = K/L and alpha is the
+    local log-slope of the fall velocity at r_w.  Sweep fsed over a
+    fixed profile and check compute()'s r_eff against the published
+    closure with r_w and alpha recomputed INDEPENDENTLY here (bisection
+    on the fall-velocity law, symmetric finite-difference slope) — the
+    "reff ~ fsed^(1/alpha) scaling table" of the paper.
+    """
+    from scipy.optimize import brentq
+
+    fseds = np.array([0.5, 1.0, 2.0, 4.0])
+    conds = {}
+    for f in fseds:
+        out = vj.compute(_atmo('H2O', fsed=float(f), t0=400.0))
+        conds[f] = out['condensibles']['H2O']
+    cloudy = np.all([c['q_c'] > 0 for c in conds.values()], axis=0)
+    assert cloudy.any(), 'no layer is cloudy across the whole fsed sweep'
+    ilay = int(np.nonzero(cloudy)[0][-1])    # deepest common cloudy layer
+
+    atmo = _atmo('H2O', fsed=1.0, t0=400.0)  # same structure every run
+    _, rho_p = vj.GAS_PROPERTIES['H2O']
+    t_l = atmo.t_layer[ilay]
+    p_l = atmo.p_layer[ilay] * 1e6
+    w_star = atmo.kz_layer[ilay] / atmo.mixl[ilay]
+    rw = brentq(lambda r: vj.vfall(r, GRAV, MMW, t_l, p_l, rho_p) - w_star,
+                1e-9, 1.0, xtol=1e-14)
+    alpha = (np.log(vj.vfall(rw * 1.1, GRAV, MMW, t_l, p_l, rho_p)
+                    / vj.vfall(rw / 1.1, GRAV, MMW, t_l, p_l, rho_p))
+             / np.log(1.1 ** 2))
+    ln2 = 0.5 * np.log(atmo.sig) ** 2        # ln^2(sigma)/2, sigma = 2
+    expect = (rw * fseds ** (1.0 / alpha)
+              * np.exp(-(alpha + 6.0) * ln2) * np.exp(5.0 * ln2))
+    measured = np.array([conds[f]['r_eff'][ilay] for f in fseds])
+    np.testing.assert_allclose(measured, expect, rtol=0.15)
+    # the scaling-table exponent itself: d ln r_eff / d ln fsed = 1/alpha
+    slope = np.polyfit(np.log(fseds), np.log(measured), 1)[0]
+    assert slope == pytest.approx(1.0 / alpha, rel=0.1)
+
+
 def test_analytic_mode_still_available():
     out = vj.compute(_atmo('H2O', t0=400.0), solver='analytic')
     assert out['opd_per_layer'].shape[1] == 196
