@@ -10,12 +10,21 @@ HBM), so HBM pressure, the ragged index math, and molecule count match
 the real workload.  Steady-state rate, temperatures perturbed every call.
 
 The other BASELINE configs ride in the same JSON line under "extra":
-  - climate_s / climate_warm_s: brown-dwarf RCE end-to-end wall-clock
-    (91 levels, 196-bin CK x 8 gauss — the legacy-EGP production shape),
-    target < 60 s.
-  - sh4_spectra_per_s: SH 4-stream reflected+thermal rate (f64 on TPU —
-    the SH mode-coefficient BVP needs float64, see rt/sh.py; run in an
-    x64 subprocess).
+  - climate_s: brown-dwarf RCE end-to-end wall-clock (91 levels,
+    196-bin CK x 8 gauss — the legacy-EGP production shape), target
+    < 60 s; climate_661_s / climate_cloudy_s / climate_diseq_s time the
+    other three production climate modes (661-bin grid, virga-coupled,
+    disequilibrium resort-rebin+quench).
+  - sh4_spectra_per_s / sh4_fullres_spectra_per_s: SH 4-stream
+    reflected+thermal rate, native f32 in-process (rt/sh.py incoming
+    grouping) at nwno=2000 and the full 5e4 grid;
+    sh4_phase_curve_points_per_s is BASELINE config #4 (3D disco-ball
+    phase curve through SH4, one batched dispatch).
+  - likelihoods_per_s: batched forward + chi^2 (the retrieval
+    nested-sampling inner loop) at production shape.
+  - gather_stage_ms / rt_stage_ms / rt_exp_utilization: per-stage
+    split of the forward program with achieved-vs-peak transcendental
+    accounting for the VPU-bound RT megakernels.
   - transit_spectra_per_s: full-res transmission rate.
   - vs_reference_numpy: measured rate of the ACTUAL reference
     implementation (numba shimmed to pure numpy — numba isn't installed
@@ -39,7 +48,12 @@ import numpy as np
 
 NWNO = 50_000
 NLEVEL = 91
-N_ITER = 15
+# enough timed iterations to amortize the axon relay's ~25-45 ms
+# device->host round trip (paid once per timed region at the final
+# block_until_ready): at ~7 ms/spectrum, 30 iterations keep the bias
+# under ~15%; fewer (round 3 used 15, and only 2 for the batched path)
+# systematically under-reports the faster configurations
+N_ITER = 30
 
 MOLECULES_16 = ('H2O', 'CH4', 'CO', 'NH3', 'CO2', 'H2S', 'TiO', 'VO',
                 'Na', 'K', 'FeH', 'C2H2', 'HCN', 'PH3', 'SO2', 'CrH')
@@ -178,6 +192,79 @@ def _roofline(rate, grid, nlayer, fused=True):
                         'compute (see docs/architecture.md)'}
 
 
+def _rt_utilization(scene, grid, config, headline_rate, scenes):
+    """Achieved-vs-peak accounting for the VPU-bound RT stage.
+
+    The gather stage got bandwidth accounting in round 3; this gives the
+    RT megakernels the same treatment on the compute axis.  Method:
+    (1) time the gather stage alone (pipeline.gather_taugas — the same
+    jitted kernel the forward runs first), so rt_stage_ms = whole
+    program minus gather; (2) count the RT kernels' transcendental
+    evaluations analytically (exp dominates; counts below match
+    rt/pallas_toon.py after the exp-reuse pass: reflected 6 exps per
+    disk angle + 1 shared, thermal 1 per angle + 2 shared + the level
+    blackbody); (3) measure the device's streaming exp throughput with
+    a dedicated microbenchmark; utilization = achieved exp rate in the
+    RT stage / measured peak.  exp is the dominant VPU term but not the
+    only one (divides, rsqrt, the fori_loop sweeps), so this is an
+    upper-bound-ish denominator and an honest utilization floor.
+    """
+    import jax
+    import jax.numpy as jnp
+    from picaso_tpu import pipeline
+
+    n = len(scenes) - 1
+    gather = jax.jit(pipeline.gather_taugas, static_argnames=('config',))
+    out = gather(scenes[0], grid, config)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for s in scenes[1:n + 1]:
+        out = gather(s, grid, config)
+    jax.block_until_ready(out)
+    gather_s = (time.perf_counter() - t0) / n
+    rt_s = 1.0 / headline_rate - gather_s
+
+    nlayer = int(scene.tlayer.shape[0])
+    nwno = int(np.asarray(grid.wno).shape[0])
+    nang = int(np.asarray(scene.ubar0).size)
+    per_lw = nlayer * nwno
+    exp_reflected = (6 * nang + 1) * per_lw
+    exp_thermal = (1 * nang + 2) * per_lw + (nlayer + 1) * nwno
+    exp_total = exp_reflected + exp_thermal
+
+    # device streaming-exp peak: exp-bound elementwise kernel, input
+    # perturbed per call so the relay cannot dedupe dispatches
+    x = jnp.linspace(-3.0, 3.0, 32 * 1024 * 1024).astype(jnp.float32)
+
+    @jax.jit
+    def exp4(x, c):
+        y = jnp.exp(x * c)
+        y = jnp.exp(y * (-0.25))
+        y = jnp.exp(y * 0.5)
+        y = jnp.exp(y * (-0.5))
+        return y
+
+    y = exp4(x, jnp.float32(1.0))
+    jax.block_until_ready(y)
+    reps = 8
+    t0 = time.perf_counter()
+    for i in range(reps):
+        y = exp4(x, jnp.float32(1.0 + 1e-6 * i))
+    jax.block_until_ready(y)
+    peak_exp_per_s = 4 * reps * x.size / (time.perf_counter() - t0)
+
+    achieved = exp_total / max(rt_s, 1e-9)
+    return {
+        'gather_stage_ms': round(gather_s * 1e3, 2),
+        'rt_stage_ms': round(rt_s * 1e3, 2),
+        'rt_exp_per_spectrum_M': round(exp_total / 1e6, 1),
+        'device_exp_peak_G_per_s': round(peak_exp_per_s / 1e9, 1),
+        'rt_exp_utilization': round(achieved / peak_exp_per_s, 3),
+        'rt_util_note': 'RT-stage achieved exp/s vs measured streaming-'
+                        'exp peak; exp is the dominant but not sole VPU '
+                        'term, so this is a utilization floor'}
+
+
 def measure_spectra_and_transit(nwno, n_iter):
     # headline + transit rates from ONE production problem: the table is
     # two ~3.4 GB HBM copies, so building it twice OOMs a 16 GB chip
@@ -188,28 +275,61 @@ def measure_spectra_and_transit(nwno, n_iter):
     headline = _rate(lambda s: pipeline.forward(s, grid, config), scenes,
                      n_iter)
     roofline = _roofline(headline, grid, NLEVEL - 1)
+    try:
+        roofline.update(_rt_utilization(scene, grid, config, headline,
+                                        scenes))
+    except Exception as e:
+        roofline['rt_util_error'] = f'{type(e).__name__}: {e}'[:160]
     cfg_t = dataclasses.replace(config, reflected=False, thermal=False,
                                 transmission=True)
     transit = _rate(lambda s: pipeline.forward(s, grid, cfg_t), scenes,
                     n_iter)
     # batched-retrieval configuration: 8 scenes through forward_batch =
     # ONE dispatch (the production likelihood path; the reference farms
-    # these to MPI ranks).  Rate is per-spectrum.  Isolated try: a
-    # failure here must not discard the already-measured headline.
+    # these to MPI ranks).  Rate is per-spectrum.  NOTE: the relay's
+    # device->host round trip (~25-45 ms) is paid once per timed region,
+    # so the batch loop must run enough iterations to amortize it — the
+    # round-3 "batching regression" (122.6 vs 132.3/s) was exactly this
+    # bias: 2 batch dispatches vs 15 single dispatches under one ~40 ms
+    # readback.  Isolated try: a failure here must not discard the
+    # already-measured headline.
     import jax
+    import jax.numpy as jnp
     try:
         nb = 8
+        n_rep = 20
         batches = [pipeline.stack_scenes(scenes[i * nb:(i + 1) * nb])
                    for i in range(max(1, (n_iter + 1) // nb))]
         out = pipeline.forward_batch(batches[0], grid, config)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for b in batches:
-            out = pipeline.forward_batch(b, grid, config)
+        for i in range(n_rep):
+            out = pipeline.forward_batch(batches[i % len(batches)], grid,
+                                         config)
         jax.block_until_ready(out)
         roofline['batched8_spectra_per_s'] = round(
-            len(batches) * nb / (time.perf_counter() - t0), 2)
-        batches = out = None
+            n_rep * nb / (time.perf_counter() - t0), 2)
+
+        # retrieval-likelihood rate: batched forward + chi^2 against a
+        # data vector, ONE scalar logL per scene per dispatch — the
+        # production nested-sampling inner loop (replaces the MPI pool,
+        # reference driver.py:406-427)
+        y = out['albedo'][0] if isinstance(out, dict) else None
+
+        @jax.jit
+        def loglike(b, y):
+            o = pipeline.forward_batch(b, grid, config)
+            return -0.5 * jnp.sum((o['albedo'] - y[None]) ** 2, axis=-1)
+
+        ll = loglike(batches[0], y)
+        jax.block_until_ready(ll)
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            ll = loglike(batches[i % len(batches)], y)
+        jax.block_until_ready(ll)
+        roofline['likelihoods_per_s'] = round(
+            n_rep * nb / (time.perf_counter() - t0), 2)
+        batches = out = ll = None
     except Exception as e:
         roofline['batched8_error'] = f'{type(e).__name__}: {e}'[:160]
     if grid.log_kappa_blocked is not None:
@@ -239,33 +359,58 @@ np.asarray(jnp.zeros(1))   # absorb the axon-relay d2h handshake (see
 t0 = time.perf_counter()
 from picaso_tpu import justdoit as jdi
 from picaso_tpu.opacities.ck import synthetic_ck_table
-opa_ck = jdi.opannection(ck_table=synthetic_ck_table(),
+opa_ck = jdi.opannection(ck_table=synthetic_ck_table({ck_kwargs}),
                          method='preweighted')
 case = jdi.inputs(calculation='brown')
 case.phase_angle(0)
 case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
-case.effective_temp(700.0)
+teff = {teff}
+case.effective_temp(teff)
 case.setup_nostar()
 case.setup_climate()
 nlevel = {nlevel}
 pressure = np.logspace(-4, 2.5, nlevel)
-guess = np.clip(700.0 * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
+guess = np.clip(teff * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
 case.inputs_climate(temp_guess=guess, pressure=pressure,
                     rcb_guess=nlevel - 20, rfacv=0.0)
-out = case.climate(opa_ck, verbose=False)
+{extra_setup}
+out = case.climate(opa_ck, verbose=False{climate_kwargs})
 print(json.dumps({{"s": time.perf_counter() - t0,
                    "converged": bool(out["converged"])}}))
 '''
 
+# the four production climate modes (reference climate.py:2842-3124):
+# chemeq on both production grids (196-bin legacy EGP and 661-bin,
+# optics.py:1390-1395), cloudy (virga microphysics in the loop), and
+# diseq (MLT kzz + Zahnle-Marley quench, per-gas resort-rebin tables)
+CLIMATE_MODES = {
+    'chemeq': dict(ck_kwargs='', teff=700.0, extra_setup='',
+                   climate_kwargs=''),
+    '661': dict(ck_kwargs='grid661=True', teff=700.0, extra_setup='',
+                climate_kwargs=''),
+    'cloudy': dict(
+        ck_kwargs='', teff=400.0,
+        extra_setup=("case.inputs['climate']['cloudy'] = True\n"
+                     "case.inputs['climate']['virga_kwargs'] = {"
+                     "'condensates': ['H2O'], 'fsed': 3.0, 'mh': 1.0, "
+                     "'mmw': 2.2}"),
+        climate_kwargs=''),
+    'diseq': dict(
+        ck_kwargs='with_per_gas=True', teff=700.0,
+        extra_setup="case.inputs['approx']['chem_params']['quench'] = True",
+        climate_kwargs=', diseq_chem=True'),
+}
 
-def measure_climate():
-    """Brown-dwarf RCE end-to-end in FRESH processes (BASELINE: < 60 s).
+
+def measure_climate(mode='chemeq', runs=2):
+    """Climate RCE end-to-end in FRESH processes (BASELINE: < 60 s for
+    the chemeq brown dwarf).
 
     Two runs: the first may compile (populating the persistent XLA disk
     cache picaso_tpu enables by default); the second is the steady-state
     cold-START number a user sees — new process, warmed disk cache.
     """
-    code = _CLIMATE_CODE.format(nlevel=NLEVEL)
+    code = _CLIMATE_CODE.format(nlevel=NLEVEL, **CLIMATE_MODES[mode])
 
     def once():
         res = subprocess.run([sys.executable, '-c', code],
@@ -274,34 +419,70 @@ def measure_climate():
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     first = once()
-    second = once()
+    second = once() if runs > 1 else first
     return first['s'], second['s'], bool(second['converged'])
 
 
-def _sh_subprocess():
-    """SH 2/4-stream rates in an x64 subprocess (TPU SH runs in f64; x64
-    would perturb the f32 headline numbers if enabled in this process)."""
-    code = r'''
-import json, time, dataclasses
-import numpy as np
-import jax
-jax.config.update('jax_enable_x64', True)
-import bench
-from picaso_tpu import pipeline
-scene, grid, config = bench.build_problem(2000, production=False)
-out = {}
-for stream in (4, 2):
-    cfg = dataclasses.replace(config, rt_method=1, stream=stream,
+def measure_sh(nwno=2000, n_iter=20, production=False, streams=(4, 2)):
+    """SH 2/4-stream reflected+thermal rates, IN-PROCESS on the TPU.
+
+    Runs the native f32 path (rt/sh.py precision='auto': incoming-field
+    block-row pairing + expm1-hardened sources; ~2e-3 max relative
+    error vs the f64 oracle) — no x64 subprocess, no global flag flip.
+    """
+    from picaso_tpu import pipeline
+
+    scene, grid, config = build_problem(nwno, production=production)
+    out = {}
+    for stream in streams:
+        cfg = dataclasses.replace(config, rt_method=1, stream=stream,
+                                  use_pallas=False)
+        scenes = _perturbed(scene, n_iter)
+        out[f'sh{stream}_rate'] = _rate(
+            lambda s: pipeline.forward(s, grid, cfg), scenes, n_iter)
+    return out
+
+
+def measure_sh4_phase_curve(nwno=2000, n_phase=8, n_iter=16):
+    """BASELINE config #4: SH4 reflected+thermal 3D phase curve.
+
+    One batched dispatch computes every phase point of the disco ball
+    (Gauss x Chebyshev 6x6 disk, geometry varying per phase) through the
+    SH 4-stream solver — the single-program replacement for the
+    reference's joblib fan-out (justdoit.py:4741-4777 with rt_method
+    'SH', fluxes.py:2675/2979).  Reported as phase-points (full
+    reflected+thermal disco spectra) per second.
+    """
+    import jax
+    from picaso_tpu import disco as disco_mod
+    from picaso_tpu import pipeline
+
+    scene, grid, config = build_problem(nwno, production=False)
+    cfg = dataclasses.replace(config, rt_method=1, stream=4,
                               use_pallas=False)
-    scenes = bench._perturbed(scene, 10)
-    out[f'sh{stream}_rate'] = bench._rate(
-        lambda s: pipeline.forward(s, grid, cfg), scenes, 10)
-print(json.dumps(out))
-'''
-    res = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                         text=True, timeout=1800,
-                         cwd=os.path.dirname(os.path.abspath(__file__)))
-    return json.loads(res.stdout.strip().splitlines()[-1])
+    phases = np.linspace(0.0, 2 * np.pi, n_phase, endpoint=False)
+    dtype = np.asarray(scene.cld_opd).dtype
+    phase_scenes = []
+    for i, p in enumerate(phases):
+        g = disco_mod.make_geometry(float(p), num_gangle=6, num_tangle=6)
+        phase_scenes.append(scene._replace(
+            ubar0=np.asarray(g.ubar0, dtype),
+            ubar1=np.asarray(g.ubar1, dtype),
+            gweight=np.asarray(g.gweight, dtype),
+            tweight=np.asarray(g.tweight, dtype),
+            cos_theta=np.asarray(g.cos_theta, dtype),
+            tlevel=scene.tlevel * (1 + 0.001 * i),
+            tlayer=scene.tlayer * (1 + 0.001 * i)))
+    batch = pipeline.stack_scenes(phase_scenes)
+    out = pipeline.forward_batch(batch, grid, cfg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        b = batch._replace(tlevel=batch.tlevel * (1 + 1e-4 * i),
+                           tlayer=batch.tlayer * (1 + 1e-4 * i))
+        out = pipeline.forward_batch(b, grid, cfg)
+    jax.block_until_ready(out)
+    return n_iter * n_phase / (time.perf_counter() - t0)
 
 
 def _reference_numpy_subprocess():
@@ -402,21 +583,50 @@ def main():
     jax.clear_caches()
     gc.collect()
 
+    # SH native f32 in-process, at the SH-bench slice AND full resolution
     try:
-        first, fresh, converged = measure_climate()
+        sh = measure_sh(nwno=2000)
+        extra['sh4_spectra_per_s'] = round(sh['sh4_rate'], 3)
+        extra['sh2_spectra_per_s'] = round(sh['sh2_rate'], 3)
+        sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4,))
+        extra['sh4_fullres_spectra_per_s'] = round(sh_full['sh4_rate'], 3)
+        extra['sh_note'] = ('native f32 in-process (rt/sh.py incoming '
+                            'grouping), nwno=2000 and full-res '
+                            f'nwno={NWNO}, reflected+thermal')
+    except Exception as e:
+        extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
+        jax.clear_caches()
+    try:
+        extra['sh4_phase_curve_points_per_s'] = round(
+            measure_sh4_phase_curve(), 3)
+        extra['sh4_phase_curve_note'] = (
+            'BASELINE config #4: 8-phase 3D disco ball (6x6 gauss-cheby '
+            'facets), SH4 reflected+thermal, one batched dispatch, '
+            'nwno=2000')
+    except Exception as e:
+        extra['sh4_phase_curve_error'] = f'{type(e).__name__}: {e}'[:200]
+        jax.clear_caches()
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+    try:
+        first, fresh, converged = measure_climate('chemeq')
         extra['climate_s'] = round(fresh, 2)   # fresh process, warm cache
         extra['climate_first_compile_s'] = round(first, 2)
         extra['climate_converged'] = converged
     except Exception as e:
         extra['climate_error'] = f'{type(e).__name__}: {e}'[:200]
-    try:
-        sh = _sh_subprocess()
-        extra['sh4_spectra_per_s'] = round(sh['sh4_rate'], 3)
-        extra['sh2_spectra_per_s'] = round(sh['sh2_rate'], 3)
-        extra['sh_note'] = ('f64 (x64 subprocess), nwno=2000, '
-                            'reflected+thermal')
-    except Exception as e:
-        extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
+    # the other three production climate modes (see CLIMATE_MODES)
+    for mode, key in (('661', 'climate_661'), ('cloudy', 'climate_cloudy'),
+                      ('diseq', 'climate_diseq')):
+        try:
+            first, fresh, converged = measure_climate(mode)
+            extra[f'{key}_s'] = round(fresh, 2)
+            extra[f'{key}_first_compile_s'] = round(first, 2)
+            extra[f'{key}_converged'] = converged
+        except Exception as e:
+            extra[f'{key}_error'] = f'{type(e).__name__}: {e}'[:200]
     try:
         ref_rate = _reference_numpy_subprocess()
         extra['reference_numpy_spectra_per_s'] = round(ref_rate, 5)
