@@ -46,6 +46,14 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg):
+    """Stage progress on stderr (stdout carries ONLY the JSON line)."""
+    print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
 NWNO = 50_000
 NLEVEL = 91
 # enough timed iterations to amortize the axon relay's ~25-45 ms
@@ -274,12 +282,14 @@ def measure_spectra_and_transit(nwno, n_iter):
     scenes = _perturbed(scene, n_iter)
     headline = _rate(lambda s: pipeline.forward(s, grid, config), scenes,
                      n_iter)
+    _mark(f'headline rate {headline:.1f}/s; rt utilization')
     roofline = _roofline(headline, grid, NLEVEL - 1)
     try:
         roofline.update(_rt_utilization(scene, grid, config, headline,
                                         scenes))
     except Exception as e:
         roofline['rt_util_error'] = f'{type(e).__name__}: {e}'[:160]
+    _mark('transit')
     cfg_t = dataclasses.replace(config, reflected=False, thermal=False,
                                 transmission=True)
     transit = _rate(lambda s: pipeline.forward(s, grid, cfg_t), scenes,
@@ -295,6 +305,7 @@ def measure_spectra_and_transit(nwno, n_iter):
     # already-measured headline.
     import jax
     import jax.numpy as jnp
+    _mark('batched + likelihood')
     try:
         nb = 8
         n_rep = 20
@@ -311,15 +322,21 @@ def measure_spectra_and_transit(nwno, n_iter):
             n_rep * nb / (time.perf_counter() - t0), 2)
 
         # retrieval-likelihood rate: batched forward + chi^2 against a
-        # data vector, ONE scalar logL per scene per dispatch — the
-        # production nested-sampling inner loop (replaces the MPI pool,
-        # reference driver.py:406-427)
+        # data vector, ONE scalar logL per scene — the production
+        # nested-sampling inner loop (replaces the MPI pool, reference
+        # driver.py:406-427).  The chi^2 is its own tiny jit on the
+        # forward_batch outputs: wrapping forward_batch in a new jit
+        # would recompile the whole production-shape program (~minutes
+        # on the relay) to save one sub-ms dispatch.
         y = out['albedo'][0] if isinstance(out, dict) else None
 
         @jax.jit
+        def chi2(alb, y):
+            return -0.5 * jnp.sum((alb - y[None]) ** 2, axis=-1)
+
         def loglike(b, y):
-            o = pipeline.forward_batch(b, grid, config)
-            return -0.5 * jnp.sum((o['albedo'] - y[None]) ** 2, axis=-1)
+            return chi2(pipeline.forward_batch(b, grid, config)['albedo'],
+                        y)
 
         ll = loglike(batches[0], y)
         jax.block_until_ready(ll)
@@ -332,6 +349,7 @@ def measure_spectra_and_transit(nwno, n_iter):
         batches = out = ll = None
     except Exception as e:
         roofline['batched8_error'] = f'{type(e).__name__}: {e}'[:160]
+    _mark('int16 quantized table')
     if grid.log_kappa_blocked is not None:
         # int16 fixed-point table (opannection(blocked='int16')): halves
         # the gather stage's HBM traffic at ~1e-3 dex quantization error.
@@ -443,7 +461,7 @@ def measure_sh(nwno=2000, n_iter=20, production=False, streams=(4, 2)):
     return out
 
 
-def measure_sh4_phase_curve(nwno=2000, n_phase=8, n_iter=16):
+def measure_sh4_phase_curve(nwno=2000, n_phase=4, n_iter=10):
     """BASELINE config #4: SH4 reflected+thermal 3D phase curve.
 
     One batched dispatch computes every phase point of the disco ball
@@ -547,6 +565,7 @@ def main():
     # the headline measurement a few times before giving up
     rate = None
     nwno_used = NWNO
+    _mark('headline: build + measure')
     for attempt in range(4):
         try:
             rate, transit_rate, roofline = measure_spectra_and_transit(
@@ -584,10 +603,12 @@ def main():
     gc.collect()
 
     # SH native f32 in-process, at the SH-bench slice AND full resolution
+    _mark('SH native f32 (nwno=2000)')
     try:
         sh = measure_sh(nwno=2000)
         extra['sh4_spectra_per_s'] = round(sh['sh4_rate'], 3)
         extra['sh2_spectra_per_s'] = round(sh['sh2_rate'], 3)
+        _mark('SH4 full-res')
         sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4,))
         extra['sh4_fullres_spectra_per_s'] = round(sh_full['sh4_rate'], 3)
         extra['sh_note'] = ('native f32 in-process (rt/sh.py incoming '
@@ -596,11 +617,12 @@ def main():
     except Exception as e:
         extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
         jax.clear_caches()
+    _mark('SH4 3D phase curve')
     try:
         extra['sh4_phase_curve_points_per_s'] = round(
             measure_sh4_phase_curve(), 3)
         extra['sh4_phase_curve_note'] = (
-            'BASELINE config #4: 8-phase 3D disco ball (6x6 gauss-cheby '
+            'BASELINE config #4: 4-phase 3D disco ball (6x6 gauss-cheby '
             'facets), SH4 reflected+thermal, one batched dispatch, '
             'nwno=2000')
     except Exception as e:
@@ -610,6 +632,7 @@ def main():
     jax.clear_caches()
     gc.collect()
 
+    _mark('climate chemeq')
     try:
         first, fresh, converged = measure_climate('chemeq')
         extra['climate_s'] = round(fresh, 2)   # fresh process, warm cache
@@ -621,12 +644,14 @@ def main():
     for mode, key in (('661', 'climate_661'), ('cloudy', 'climate_cloudy'),
                       ('diseq', 'climate_diseq')):
         try:
+            _mark(f'climate {mode}')
             first, fresh, converged = measure_climate(mode)
             extra[f'{key}_s'] = round(fresh, 2)
             extra[f'{key}_first_compile_s'] = round(first, 2)
             extra[f'{key}_converged'] = converged
         except Exception as e:
             extra[f'{key}_error'] = f'{type(e).__name__}: {e}'[:200]
+    _mark('reference numpy subprocess')
     try:
         ref_rate = _reference_numpy_subprocess()
         extra['reference_numpy_spectra_per_s'] = round(ref_rate, 5)
@@ -651,6 +676,7 @@ def main():
     except Exception as e:
         extra['reference_error'] = f'{type(e).__name__}: {e}'[:200]
 
+    _mark('cpu baseline subprocess')
     # CPU baseline of the same XLA program in a clean subprocess
     try:
         env = dict(os.environ, JAX_PLATFORMS='cpu')

@@ -216,10 +216,35 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
         # property set per wavelength block in VMEM, so RTProps is never
         # materialized in HBM between the optics and RT stages
         from .rt.pallas_toon import (reflected_pallas_fused,
+                                     spectrum_pallas_fused,
                                      thermal_pallas_fused)
         tg = taugas.astype(dtype)
         tr = tauray.astype(dtype)
         out = {}
+        if config.reflected and config.thermal:
+            # dual-pass megakernel: both RT solves stream the per-source
+            # inputs from HBM once (see _spectrum_kernel_fused)
+            all_b = toon.blackbody(scene.tlevel,
+                                   1.0 / grid.wno).astype(dtype)
+            ptfac = scene.plevel[0] / (scene.plevel[1] - scene.plevel[0])
+            xint, flux_top = spectrum_pallas_fused(
+                all_b, tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0,
+                rf, ptfac, scene.surf_reflect, scene.ubar0, scene.ubar1,
+                scene.cos_theta, scene.F0PI, controls=config.controls,
+                stream=config.stream,
+                delta_eddington=config.delta_eddington,
+                hard_surface=config.hard_surface)
+            out['albedo'] = disco_mod.compress_disco(
+                xint, scene.gweight, scene.tweight, scene.cos_theta,
+                scene.F0PI)
+            out['thermal'] = disco_mod.compress_thermal(
+                flux_top, scene.gweight, scene.tweight)
+            if config.transmission:
+                out['transit_depth'] = transit_depth(
+                    scene.z, scene.dz, scene.rstar, scene.mmw_layer,
+                    scene.plevel, scene.tlevel, scene.colden,
+                    tg + tr + scene.cld_opd)
+            return out
         if config.reflected:
             xint = reflected_pallas_fused(
                 tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,

@@ -712,6 +712,104 @@ def reflected_pallas_fused(taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
     return out.reshape(ng, nt, nwno)
 
 
+def _spectrum_kernel_fused(u0_ref, u1_ref, ct_ref, allb_ref, taugas_ref,
+                           tauray_ref, copd_ref, cw0_ref, cg0_ref, rf_ref,
+                           ptfac_ref, sr_ref, f0pi_ref, out_refl_ref,
+                           out_therm_ref, *scr, controls, nang, b_top,
+                           stream, delta_eddington, hard_surface):
+    """BOTH RT passes in one kernel: the per-source optical depths are
+    read from HBM once and the (reflected delta-Eddington + thermal OG)
+    property sets are built in VMEM — reflected and thermal each re-read
+    the same 5 input strips on the split path, so fusing the passes
+    removes one full read of the input set plus the duplicated property
+    arithmetic."""
+    taugas = taugas_ref[...]
+    tauray = tauray_ref[...]
+    copd = copd_ref[...]
+    cw0 = cw0_ref[...]
+    cg0 = cg0_ref[...]
+    (dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray, dtau_og, tau_og,
+     w0_og, cosb_og) = _optics_block(taugas, tauray, copd, cw0, cg0,
+                                     rf_ref[...], stream, delta_eddington)
+    _reflected_core(
+        u0_ref, u1_ref, ct_ref[0], dtau, tau, w0, cosb, gcos2, ftau_cld,
+        ftau_ray, dtau_og, tau_og, w0_og, cosb_og, sr_ref[...],
+        f0pi_ref[...], out_refl_ref, scr[:12], controls=controls,
+        nang=nang, b_top=b_top)
+    # thermal: OG fields with the fixed no-raman albedo
+    # (justdoit.py:330-342); sweep scratch reuses 4 of the reflected's
+    # angle-stacked buffers (dead after the reflected ascent)
+    w0_no = (tauray * 0.99999 + cw0 * copd) / dtau_og
+    tau_top = dtau_og[:1] * ptfac_ref[...]
+    _thermal_core(u1_ref, allb_ref[...], dtau_og, w0_no, cosb_og,
+                  tau_top, sr_ref[...], out_therm_ref,
+                  scr[12:26] + tuple(scr[:4]), nang=nang,
+                  hard_surface=hard_surface)
+
+
+@partial(jax.jit, static_argnames=('controls', 'b_top', 'stream',
+                                   'delta_eddington', 'hard_surface',
+                                   'block_w', 'interpret'))
+def spectrum_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
+                          rf, ptfac, surf_reflect, ubar0, ubar1,
+                          cos_theta, F0PI,
+                          controls: ScatteringControls =
+                          ScatteringControls(),
+                          b_top: float = 0.0, stream: int = 2,
+                          delta_eddington: bool = True,
+                          hard_surface: bool = False, block_w: int = 384,
+                          interpret: bool = False):
+    """Reflected TOA intensity AND thermal TOA flux from one kernel.
+
+    Returns (xint [ng, nt, nwno], thermal_flux [ng, nt, nwno]);
+    equivalent to reflected_pallas_fused + thermal_pallas_fused but the
+    6 per-source input strips stream from HBM once per wavelength block
+    instead of twice.
+
+    scr layout: 12 angle-stacked [nlayer, nang*bw] (reflected solve +
+    sweeps; 4 reused as the thermal sweep scratch) + 14 [nlayer, bw]
+    (thermal Thomas).
+    """
+    ng, nt = ubar0.shape
+    nang = ng * nt
+    nlayer, nwno = taugas.shape
+    nblocks = -(-nwno // block_w)
+
+    u0 = ubar0.reshape(-1).astype(taugas.dtype)
+    u1 = ubar1.reshape(-1).astype(taugas.dtype)
+    ct = jnp.asarray(cos_theta, taugas.dtype).reshape(1)
+    pt = jnp.broadcast_to(jnp.asarray(ptfac, taugas.dtype), (1, nwno))
+
+    layer_spec = pl.BlockSpec((nlayer, block_w), lambda i: (0, i))
+    level_spec = pl.BlockSpec((nlayer + 1, block_w), lambda i: (0, i))
+    row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    angle_scr = pltpu.VMEM((nlayer, nang * block_w), taugas.dtype)
+    thomas = pltpu.VMEM((nlayer, block_w), taugas.dtype)
+
+    kernel = partial(_spectrum_kernel_fused, controls=controls, nang=nang,
+                     b_top=float(b_top), stream=int(stream),
+                     delta_eddington=bool(delta_eddington),
+                     hard_surface=bool(hard_surface))
+    out_spec = pl.BlockSpec((nang, block_w), lambda i: (0, i))
+    xint, therm = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[smem_spec, smem_spec, smem_spec, level_spec, layer_spec,
+                  layer_spec, layer_spec, layer_spec, layer_spec,
+                  layer_spec, row_spec, row_spec, row_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((nang, nwno), taugas.dtype),
+                   jax.ShapeDtypeStruct((nang, nwno), taugas.dtype)],
+        scratch_shapes=[angle_scr] * 12 + [thomas] * 14,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u0, u1, ct, all_b, taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
+      pt, surf_reflect[None, :], F0PI[None, :])
+    return xint.reshape(ng, nt, nwno), therm.reshape(ng, nt, nwno)
+
+
 @partial(jax.jit, static_argnames=('hard_surface', 'block_w', 'interpret'))
 def thermal_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
                          ptfac, surf_reflect, ubar1,

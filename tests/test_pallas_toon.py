@@ -221,6 +221,48 @@ def test_thermal_fused_optics_parity(raw_sources):
                                rtol=2e-5, atol=1e-8)
 
 
+def test_spectrum_dual_pass_fused_parity(raw_sources):
+    """The dual-pass megakernel (both RT solves, one input read) matches
+    the separate reflected + thermal fused kernels exactly in layout and
+    to fp tolerance in value."""
+    from picaso_tpu.rt.pallas_toon import (reflected_pallas_fused,
+                                           spectrum_pallas_fused,
+                                           thermal_pallas_fused)
+
+    s = raw_sources
+    nlayer, nwno = s['nlayer'], s['nwno']
+    rng = np.random.default_rng(5)
+    ubar0 = jnp.asarray(rng.uniform(0.1, 1.0, (3, 1)))
+    ubar1 = jnp.asarray(rng.uniform(0.1, 1.0, (3, 1)))
+    surf = jnp.zeros(nwno)
+    F0PI = jnp.ones(nwno)
+    tlevel = jnp.asarray(np.linspace(400.0, 1600.0, nlayer + 1))
+    plevel = jnp.asarray(np.logspace(-4, 2, nlayer + 1))
+    wno = jnp.asarray(np.linspace(300.0, 20000.0, nwno))
+    all_b = blackbody(tlevel, 1.0 / wno)
+    ptfac = plevel[0] / (plevel[1] - plevel[0])
+    c = ScatteringControls(single_phase=3)
+    args = (jnp.asarray(s['taugas']), jnp.asarray(s['tauray']),
+            jnp.asarray(s['copd']), jnp.asarray(s['cw0']),
+            jnp.asarray(s['cg0']))
+
+    ref_xint = reflected_pallas_fused(
+        *args, jnp.asarray(s['rf']), surf, ubar0, ubar1, 0.5, F0PI, c,
+        stream=2, delta_eddington=True, block_w=256, interpret=True)
+    ref_therm = thermal_pallas_fused(
+        all_b, *args, ptfac, surf, ubar1, hard_surface=False,
+        block_w=256, interpret=True)
+
+    xint, therm = spectrum_pallas_fused(
+        all_b, *args, jnp.asarray(s['rf']), ptfac, surf, ubar0, ubar1,
+        0.5, F0PI, c, stream=2, delta_eddington=True,
+        hard_surface=False, block_w=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(xint), np.asarray(ref_xint),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(therm), np.asarray(ref_therm),
+                               rtol=2e-6)
+
+
 def test_interp_tau_blocked_quantized_parity():
     """int16 fixed-point blocked table tracks the f32 XLA path to the
     ~1e-3 dex quantization error bound."""
