@@ -145,6 +145,15 @@ class _ClimateState:
             is not None else np.ones(len(self.ck.wno)))
         self.all_profiles = []
         self.runlog = None   # optional profiling.RunLog (SURVEY §5)
+        # 4-deep cloud OPD/W0/G0 history (climate.py:2882-2915): the RT
+        # sees the EQUAL-WEIGHT AVERAGE of the last 4 virga results, which
+        # damps cloud-feedback oscillation, and the taudif convergence
+        # gate compares consecutive averages.  Lazy-init on first
+        # update_clouds (shape [nlayer, nwave_cld, 4], zeros — the
+        # reference ramps the cloud in at 1/4, 1/2, 3/4 strength)
+        self.cld_hist = None
+        self.last_taudif = 0.0
+        self.last_taudif_tol = 1.0
 
         # --- static + traced state for the fused single-dispatch path ---
         from .. import molmass
@@ -313,11 +322,34 @@ class _ClimateState:
                  alpha_pressure=vkw.get('alpha_pressure'))
         out = vj.compute(atmo, directory=directory,
                          do_virtual=vkw.get('do_virtual', False))
+        # 4-step history average (climate.py:2885-2907): shift, insert,
+        # average OPD with equal weights; W0/G0 are OPD-weighted means
+        opd_now = np.asarray(out['opd_per_layer'], float)
+        w0_now = np.asarray(out['single_scattering'], float)
+        g0_now = np.asarray(out['asymmetry'], float)
+        if self.cld_hist is None or self.cld_hist[0].shape[:2] != \
+                opd_now.shape:
+            self.cld_hist = [np.zeros(opd_now.shape + (4,))
+                             for _ in range(3)]
+        opd_h, g0_h, w0_h = self.cld_hist
+        opd_prev_step = opd_h.mean(axis=2)
+        for a in (opd_h, g0_h, w0_h):
+            a[:, :, 1:] = a[:, :, :3]
+        opd_h[:, :, 0], g0_h[:, :, 0], w0_h[:, :, 0] = opd_now, g0_now, \
+            w0_now
+        opd_avg = opd_h.mean(axis=2)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            g0_avg = np.nan_to_num(
+                (opd_h * g0_h).mean(axis=2) / opd_avg, nan=0.0)
+            w0_avg = np.nan_to_num(
+                (opd_h * w0_h).mean(axis=2) / opd_avg, nan=0.0)
+        opd_avg = np.where(opd_avg <= 1e-5, 0.0, opd_avg)
+        self.last_taudif = float(np.max(np.abs(opd_avg - opd_prev_step)))
+        self.last_taudif_tol = float(
+            0.4 * np.max(0.5 * (opd_avg + opd_prev_step)))
         # carry the solver's wave grid so build_props_host regrids from
         # the TRUE source coordinates (mieff grids need not be 196-pt)
-        return vj.picaso_format(out['opd_per_layer'],
-                                out['single_scattering'],
-                                out['asymmetry'],
+        return vj.picaso_format(opd_avg, w0_avg, g0_avg,
                                 wavenumber=1e4 / out['wave']), out
 
     def _mmw_layer(self, df):
@@ -420,10 +452,9 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
     temp_old = temp.copy()
     conv_flag = 0
     result = None
-    # cloud-stability gate (climate.py:2913-2915/3227): taudif stays 0
-    # for cloud-free runs so the gate is inert there
+    # cloud-stability gate (climate.py:2913-2915/3227): taudif/taudif_tol
+    # come from update_clouds' 4-step OPD-history averages
     taudif, taudif_tol = 0.0, 1.0
-    opd_prev = None
     host_path = state.diseq or state.cloudy
     state.last_nstr = list(nstr)
     temp_dev = jnp.asarray(temp)
@@ -445,12 +476,8 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                     state.bundle.inputs['atmosphere'].setdefault(
                         'kzz', {})['sc_kzz'] = np.zeros(len(temp)) + 1e9
                 cld_df, _ = state.update_clouds(temp, pressure_bar)
-                opd_new = np.asarray(cld_df['opd'], float)
-                if opd_prev is not None and len(opd_prev) == len(opd_new):
-                    taudif = float(np.max(np.abs(opd_new - opd_prev)))
-                    taudif_tol = float(
-                        0.4 * np.max(0.5 * (opd_new + opd_prev)))
-                opd_prev = opd_new
+                taudif = state.last_taudif
+                taudif_tol = state.last_taudif_tol
             props, atm = state.build_props_host(df, cld_df=cld_df)
             temp_dev, converged, fnil, fnvl, fpit = fused.newton_solve(
                 jnp.asarray(temp), props, zones, state.data, state.geom,
@@ -478,7 +505,13 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                              temperature=temp)
         result = (np.asarray(dtdp), np.asarray(fnil), np.asarray(fnvl),
                   np.asarray(fpit))
-        if iii > 0 and ert < convt and taudif < taudif_tol:
+        # the reference's strict `taudif < taudif_tol` (climate.py:3228)
+        # can never pass when the cloud OPD is identically zero (0 < 0):
+        # a cloud-free cloudy=True run hangs the flag forever upstream.
+        # taudif == 0 means the averaged cloud is EXACTLY unchanged, which
+        # is converged by any reading — treat it as such (pinned fix)
+        if iii > 0 and ert < convt and (taudif < taudif_tol
+                                        or taudif == 0.0):
             conv_flag = 1
             break
 

@@ -34,6 +34,10 @@ def test_diseq_climate_runs():
 
 @pytest.mark.slow
 def test_cloudy_climate_runs():
+    """H2O at Teff=400 never condenses on this profile: the OPD stays
+    identically zero, which upstream hangs the `taudif < taudif_tol`
+    flag forever (0 < 0, climate.py:3228) — our gate treats an exactly
+    unchanged cloud as converged."""
     opa, case = _setup_case(teff=400)
     case.inputs['climate']['cloudy'] = True
     case.inputs['climate']['virga_kwargs'] = {
@@ -42,6 +46,23 @@ def test_cloudy_climate_runs():
     assert np.isfinite(out['temperature']).all()
     assert 'cld_df' in out
     assert out['cld_df']['opd'].sum() >= 0
+    assert out['converged']
+
+
+@pytest.mark.slow
+def test_cloudy_climate_forming_cloud_converges():
+    """A case whose cloud actually forms (silicate+iron at Teff=1300)
+    must converge through the 4-step OPD-history damping
+    (climate.py:2882-2915) and return a nonzero averaged cloud."""
+    opa, case = _setup_case(teff=1300)
+    case.inputs['climate']['cloudy'] = True
+    case.inputs['climate']['virga_kwargs'] = {
+        'condensates': ['Mg2SiO4', 'Fe'], 'fsed': 2.0, 'mh': 1.0,
+        'mmw': 2.2}
+    out = case.climate(opa, verbose=False)
+    assert np.isfinite(out['temperature']).all()
+    assert out['converged']
+    assert out['cld_df']['opd'].sum() > 0
 
 
 @pytest.mark.slow
