@@ -218,11 +218,14 @@ def load_opacity_db(db_filename, wave_range=None, resample=1,
 # on-device interpolation
 # ---------------------------------------------------------------------------
 
-def _find_indices(pt: PTGrid, tlayer, player_bar):
+def _find_indices(pt: PTGrid, tlayer, player_bar, return_parity=False):
     """Neighbour indices + weights; port of optics.py:2048-2123.
 
     Returns (t_w [nlayer], p_w [nlayer], idx [4, nlayer]) where idx rows are
     (t_low,p_low), (t_hi,p_low), (t_low,p_hi), (t_hi,p_hi) flat grid indices.
+    With ``return_parity`` additionally returns (t_low % 2, p_low % 2)
+    [each int32 [nlayer]] — the base-corner grid parities that drive the
+    blocked gather's slot-stable layout (pallas_interp._parity_slots).
     """
     t_inv = 1.0 / tlayer
     p_log = jnp.log10(player_bar)
@@ -261,6 +264,8 @@ def _find_indices(pt: PTGrid, tlayer, player_bar):
                      pt.t_offset[t_hi] + p_low,
                      pt.t_offset[t_hi] + p_hi,
                      pt.t_offset[t_low] + p_hi], axis=0)
+    if return_parity:
+        return t_w, p_w, idx, (t_low % 2, p_low % 2)
     return t_w, p_w, idx
 
 

@@ -33,17 +33,19 @@ nwno=50k x 90 layers, TPU v5e, f32):
 
 Round-4 update (blocked layout, scripts/gather_probe.py): the dedup IS
 realized in interp_tau_pallas_blocked without any staging tricks, by
-(a) making the LAYER axis the innermost grid dimension and (b) greedily
-permuting each layer's four (row, weight) pairs so a slot keeps its row
-id across layers whenever the neighbor sets overlap (_stabilize_slots).
-Mosaic's pipeline skips the copy for an input whose block index is
-unchanged between consecutive grid steps, so the fetched rows drop from
-4*nlayer=360 to the 73 distinct rows of the whole profile (1.16 ->
-0.23 GB) and the stage goes 2.0 -> 1.5 ms.  The remaining 1.5 ms is the
-kernel's own VPU compute (the exp + bilinear/mix arithmetic: int16
-halving of the bytes moves the time < 8%, and an all-constant index —
-zero DMA after the first step — still costs ~1.5 ms), i.e. the gather
-stage is now compute-bound, not HBM-bound.
+(a) making the LAYER axis the innermost grid dimension and (b) fixing
+each neighbor row's slot to its OWN grid parity, slot = 2*(t%2)+(p%2)
+(_parity_slots), so a row shared by consecutive layers always sits in
+the same slot.  Mosaic's pipeline skips the copy for an input whose
+block index is unchanged between consecutive grid steps, so the fetched
+rows drop from 4*nlayer=360 to the 73 distinct rows of the whole
+profile (1.16 -> 0.23 GB).  The remaining stage time is the kernel's
+own VPU compute (the exp + bilinear/mix arithmetic: int16 halving of
+the bytes moves the time < 8%, and an all-constant index — zero DMA
+after the first step — still costs ~1.5 ms), i.e. the gather stage is
+compute-bound, not HBM-bound.  (A first attempt chained slot ids with
+a 90-step lax.scan of [4]-wide ops; its sequential dispatch cost ~2 ms
+per forward — parity is equivalent for elision and free.)
 """
 
 from __future__ import annotations
@@ -190,48 +192,39 @@ def _repack_quantized(log_kappa, nwb, block_w):
     return q, qparams
 
 
-def _stabilize_slots(idx, w4):
-    """Permute each layer's four (row, weight) pairs so that slot q keeps
-    the row id it held at the previous layer wherever the two neighbor
-    sets overlap (adjacent layers share most of their 4 bilinear rows —
-    the profile walks the (T, P) grid cell by cell).
+def _parity_slots(idx, w4, t_par, p_par):
+    """Assign each layer's four (row, weight) pairs to the slot given by
+    the corner's OWN grid parity, slot = 2*(t%2) + (p%2): a physical
+    (T, P) row then occupies the SAME slot in every layer that touches
+    it (adjacent layers share most of their 4 bilinear rows — the
+    profile walks the grid cell by cell).
 
-    With the layer axis INNERMOST in the gather grid, a slot whose row id
-    is unchanged between consecutive grid steps maps to an unchanged
+    With the layer axis INNERMOST in the gather grid, a slot whose row
+    id is unchanged between consecutive grid steps maps to an unchanged
     block index, and Mosaic's pipeline skips the re-fetch — measured at
     the production shape this cuts the fetched bytes 360 -> 73 rows
-    (every distinct row exactly once) and the stage 2.0 -> 1.5 ms
-    (the remainder is the kernel's own VPU compute, not DMA).
+    (every distinct row exactly once; 1.16 -> 0.23 GB).
 
-    Pure value-permutation: the (row, weight) pairs travel together, so
-    the bilinear sum is unchanged up to f32 addition order.
+    Pure elementwise value-permutation (the first version chained slot
+    ids layer-to-layer with a lax.scan of tiny [4]-wide steps, whose
+    ~90-step sequential dispatch cost ~2 ms — a third of the whole
+    forward; parity needs no chain and is free).  The (row, weight)
+    pairs travel together, so the bilinear sum is unchanged up to f32
+    addition order.
+
+    ``idx``/``w4`` rows are corner-ordered (t_lo,p_lo), (t_hi,p_lo),
+    (t_hi,p_hi), (t_lo,p_hi) (db._find_indices); ``t_par``/``p_par``
+    are the base-corner parities t_lo % 2 / p_lo % 2.
     """
-    def body(prev, cur):
-        vals, w = cur
-        eq = prev[:, None] == vals[None, :]          # [slot, item]
-        slot_taken = jnp.zeros(4, jnp.bool_)
-        item_placed = jnp.zeros(4, jnp.bool_)
-        assign = jnp.zeros(4, jnp.int32)
-        for j in range(4):                            # keep matches
-            can = eq[:, j] & ~slot_taken
-            i = jnp.argmax(can)
-            ok = can[i]
-            assign = jnp.where(ok, assign.at[i].set(j), assign)
-            slot_taken = jnp.where(ok, slot_taken.at[i].set(True),
-                                   slot_taken)
-            item_placed = item_placed.at[j].set(ok)
-        for j in range(4):                            # place the rest
-            need = ~item_placed[j]
-            i = jnp.argmax(~slot_taken)
-            assign = jnp.where(need, assign.at[i].set(j), assign)
-            slot_taken = jnp.where(need, slot_taken.at[i].set(True),
-                                   slot_taken)
-        new_vals = vals[assign]
-        return new_vals, (new_vals, w[assign])
-
-    _, (vi, wi) = jax.lax.scan(body, idx[:, 0], (idx.T[1:], w4.T[1:]))
-    idx_st = jnp.concatenate([idx[:, :1], vi.T], 1)
-    w_st = jnp.concatenate([w4[:, :1], wi.T], 1)
+    a = t_par.astype(jnp.int32)
+    b = p_par.astype(jnp.int32)
+    slot = jnp.stack([2 * a + b,                  # (t_lo, p_lo)
+                      2 * (1 - a) + b,            # (t_hi, p_lo)
+                      2 * (1 - a) + (1 - b),      # (t_hi, p_hi)
+                      2 * a + (1 - b)], 0)        # (t_lo, p_hi)
+    onehot = (slot[:, None, :] == jnp.arange(4)[None, :, None])
+    idx_st = (idx[:, None, :] * onehot).sum(0)
+    w_st = (w4[:, None, :] * onehot).sum(0)
     return idx_st, w_st
 
 
@@ -268,11 +261,16 @@ def _blocked_kernel_q(idx_ref, w_ref, mix_ref, qp_ref, k0_ref, k1_ref,
 
 @partial(jax.jit, static_argnames=('nwno', 'interpret'))
 def interp_tau_pallas_blocked(blocked, idx, t_w, p_w, mixcol, nwno,
-                              qparams=None, interpret=False):
+                              qparams=None, parity=None, interpret=False):
     """taugas [nlayer, nwno] from a :func:`blocked_table` layout —
     identical arithmetic to :func:`interp_tau_pallas`.  An int16
     ``blocked`` (from ``blocked_table(..., quantize=True)``) requires the
-    matching ``qparams`` and halves the gather's HBM traffic."""
+    matching ``qparams`` and halves the gather's HBM traffic.  ``parity``
+    is the (t_low % 2, p_low % 2) pair from ``_find_indices(...,
+    return_parity=True)``: when given, the four (row, weight) pairs are
+    slot-stabilized so Mosaic elides re-fetches of rows shared between
+    consecutive layers (see :func:`_parity_slots`); without it the
+    gather is still correct, just without the DMA dedup."""
     npt, nwb, nmol, block_w = blocked.shape
     nlayer = idx.shape[1]
     quantized = blocked.dtype == jnp.int16
@@ -281,9 +279,10 @@ def interp_tau_pallas_blocked(blocked, idx, t_w, p_w, mixcol, nwno,
                     t_w * p_w, (1 - t_w) * p_w], 0).astype(wdtype)
     mixcol = mixcol.astype(wdtype)
     idx = idx.astype(jnp.int32)
-    # slot-stabilized, layer-innermost grid: unchanged slot rows between
-    # consecutive layers are not re-fetched (see _stabilize_slots)
-    idx, w4 = _stabilize_slots(idx, w4)
+    if parity is not None:
+        # slot-stabilized, layer-innermost grid: unchanged slot rows
+        # between consecutive layers are not re-fetched (_parity_slots)
+        idx, w4 = _parity_slots(idx, w4, *parity)
 
     nscalar = 4 if quantized else 3
 

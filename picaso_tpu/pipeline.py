@@ -154,8 +154,9 @@ def gather_taugas(scene: SceneTensors, grid: OpacityGrid,
         from .opacities.db import _find_indices
         from .opacities.pallas_interp import (interp_tau_pallas,
                                               interp_tau_pallas_blocked)
-        t_w, p_w, idx = _find_indices(grid.pt, scene.tlayer,
-                                      scene.player / PCONV)
+        t_w, p_w, idx, parity = _find_indices(
+            grid.pt, scene.tlayer, scene.player / PCONV,
+            return_parity=True)
         colw = scene.colden / scene.mmw_layer
         mixcol = jnp.zeros((len(grid.molecules), nlayer),
                            scene.mix.dtype)
@@ -164,7 +165,7 @@ def gather_taugas(scene: SceneTensors, grid: OpacityGrid,
         if grid.log_kappa_blocked is not None:
             return interp_tau_pallas_blocked(
                 grid.log_kappa_blocked, idx, t_w, p_w, mixcol, nwno,
-                qparams=grid.blocked_qparams)
+                qparams=grid.blocked_qparams, parity=parity)
         return interp_tau_pallas(grid.log_kappa, idx, t_w, p_w, mixcol)
     kappa = interp_molecular(grid, scene.tlayer, scene.player / PCONV)
     kappa = kappa[jnp.asarray(config.mol_indices)]

@@ -130,7 +130,8 @@ def test_interp_tau_blocked_parity():
     kappa = interp_molecular(grid, tlayer, player)
     ref = assemble.molecular_tau(kappa, mix, colden, mmw)
 
-    t_w, p_w, idx = _find_indices(grid.pt, tlayer, player)
+    t_w, p_w, idx, parity = _find_indices(grid.pt, tlayer, player,
+                                          return_parity=True)
     mixcol = mix * colden[None, :] / mmw[None, :]
     blocked = blocked_table(grid.log_kappa, block_w=256)
     assert blocked.shape == (30, 3, 3, 256)
@@ -139,6 +140,30 @@ def test_interp_tau_blocked_parity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-5)
 
+    # parity slot-stabilization is a pure (row, weight) permutation: the
+    # four slots still hold the same pairs, so the bilinear sum matches
+    # up to f32 addition order
+    out_st = interp_tau_pallas_blocked(blocked, idx, t_w, p_w, mixcol,
+                                       nwno, parity=parity,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(out_st), np.asarray(out),
+                               rtol=5e-5)
+
+    # every layer's slot set is a permutation of the corner set, and a
+    # row repeated across layers keeps its slot (the DMA-elision
+    # invariant)
+    from picaso_tpu.opacities.pallas_interp import _parity_slots
+    w4 = jnp.stack([(1 - t_w) * (1 - p_w), t_w * (1 - p_w),
+                    t_w * p_w, (1 - t_w) * p_w], 0)
+    idx_st, _ = _parity_slots(idx.astype(jnp.int32), w4, *parity)
+    idx_np, st_np = np.asarray(idx), np.asarray(idx_st)
+    for l in range(nlayer):
+        assert sorted(idx_np[:, l]) == sorted(st_np[:, l])
+    slot_of = {}
+    for l in range(nlayer):
+        for q in range(4):
+            row = int(st_np[q, l])
+            assert slot_of.setdefault(row, q) == q
     g2 = grid.with_blocked_table(block_w=256)
     assert g2.log_kappa_blocked is not None
 
