@@ -247,17 +247,50 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
         p_single = (ftau_cld * (f * HG_fwd + (1 - f) * HG_back)
                     + ftau_ray * (0.75 * (1 + cos_theta * cos_theta)))
 
-    # The disk angles are independent, so the three layer recursions run
-    # ONCE over angle-stacked scratch [nlayer, nang*bw] — nang x fewer
-    # loop iterations and nang x wider VPU vectors than a per-angle loop.
-    # 12 scratch refs; the coefficient buffers are dead after the
-    # backward sweep, so the forward solution reuses ao/bo and the
-    # ascend transmission/source reuse co/do
-    (ao_s, bo_s, co_s, do_s, ae_s, be_s, ce_s, de_s,
-     aso_s, dso_s, ase_s, dse_s) = scr
-    xo_s, xe_s, tr_s, sc_s = ao_s, bo_s, co_s, do_s
+    # The Toon89 eqn-44 matrix is built from gama/e1..e4 only — the
+    # incidence angle enters exclusively through the beam-source RHS —
+    # so the interleaved coefficients AND the Thomas multiplier chain
+    # (as/xe/xo) are computed ONCE at [*, bw] and shared by every disk
+    # angle; only the ds (RHS) recursions run per angle.  scr = 4 wide
+    # [nlayer, nang*bw] RHS/solution buffers + 8 narrow [nlayer, bw]
+    # coefficient/factorization buffers (12 angle-stacked before this:
+    # nang x the VPU setup work and 3 x the VMEM).
+    (do_s, de_s, dso_s, dse_s,
+     ao_n, bo_n, co_n, ae_n, be_n, ce_n, aso_n, ase_n) = scr
+    # do/de are dead after the backward sweep, dso/dse after the forward
+    # substitution: the solution reuses do/de and the ascend reuses dso/dse
+    xo_s, xe_s, tr_s, sc_s = do_s, de_s, dso_s, dse_s
     bw = dtau.shape[1]
-    carries_as, carries_ds = [], []
+
+    # angle-independent coefficients (tridiag.setup_tri_diag), once
+    zrow = jnp.zeros_like(dtau[:1])
+    ao_n[...] = jnp.concatenate(
+        [zrow, 2.0 * (1.0 - gama[:-1] ** 2)], 0)
+    bo_n[...] = jnp.concatenate(
+        [gama[:1] + 1.0, (e1[:-1] - e3[:-1]) * (gama[1:] + 1.0)], 0)
+    co_n[...] = jnp.concatenate(
+        [gama[:1] - 1.0, (e1[:-1] + e3[:-1]) * (gama[1:] - 1.0)], 0)
+    A_even_l = e1[-1:] - surf_reflect * e3[-1:]
+    B_even_l = e2[-1:] - surf_reflect * e4[-1:]
+    ae_n[...] = jnp.concatenate([
+        (e1[:-1] + e3[:-1]) * (gama[1:] - 1.0), A_even_l], 0)
+    be_n[...] = jnp.concatenate([
+        (e2[:-1] + e4[:-1]) * (gama[1:] - 1.0), B_even_l], 0)
+    ce_n[...] = jnp.concatenate(
+        [2.0 * (1.0 - gama[1:] ** 2), zrow], 0)
+
+    # bottom boundary pair eliminated from values (reverse Thomas start,
+    # same arithmetic as tridiag.tridiag_solve); factorization narrow
+    as_last = A_even_l / B_even_l
+    B_odd_l = (e1[-2:-1] - e3[-2:-1]) * (gama[-1:] + 1.0)
+    C_odd_l = (e1[-2:-1] + e3[-2:-1]) * (gama[-1:] - 1.0)
+    A_odd_l = 2.0 * (1.0 - gama[-2:-1] ** 2)
+    xo_l = 1.0 / (B_odd_l - C_odd_l * as_last)
+    as_ol = A_odd_l * xo_l
+    ase_n[nlayer - 1:] = as_last
+    aso_n[nlayer - 1:] = as_ol
+
+    carries_ds = []
     cpd_last, cpu_all, cmu_all = [], [], []
     for ia in range(nang):
         u0 = u0_ref[ia]
@@ -282,85 +315,75 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
         cmu_all.append(c_minus_up)
         cpd_last.append(c_plus_down[-1:])
 
-        # interleaved coefficients (tridiag.setup_tri_diag) into columns
-        zrow = jnp.zeros_like(dtau[:1])
-        ao_s[:, sl] = jnp.concatenate(
-            [zrow, 2.0 * (1.0 - gama[:-1] ** 2)], 0)
-        bo_s[:, sl] = jnp.concatenate(
-            [gama[:1] + 1.0, (e1[:-1] - e3[:-1]) * (gama[1:] + 1.0)], 0)
-        co_s[:, sl] = jnp.concatenate(
-            [gama[:1] - 1.0, (e1[:-1] + e3[:-1]) * (gama[1:] - 1.0)], 0)
+        # per-angle RHS columns
         do_s[:, sl] = jnp.concatenate([
             b_top - c_minus_up[:1],
             e3[:-1] * (c_plus_up[1:] - c_plus_down[:-1])
             + e1[:-1] * (c_minus_down[:-1] - c_minus_up[1:])], 0)
-        A_even_l = e1[-1:] - surf_reflect * e3[-1:]
-        B_even_l = e2[-1:] - surf_reflect * e4[-1:]
         D_even_l = (b_surface - c_plus_down[-1:]
                     + surf_reflect * c_minus_down[-1:])
-        ae_s[:, sl] = jnp.concatenate([
-            (e1[:-1] + e3[:-1]) * (gama[1:] - 1.0), A_even_l], 0)
-        be_s[:, sl] = jnp.concatenate([
-            (e2[:-1] + e4[:-1]) * (gama[1:] - 1.0), B_even_l], 0)
-        ce_s[:, sl] = jnp.concatenate(
-            [2.0 * (1.0 - gama[1:] ** 2), zrow], 0)
         de_s[:, sl] = jnp.concatenate([
             (gama[1:] - 1.0) * (c_plus_up[1:] - c_plus_down[:-1])
             + (1.0 - gama[1:]) * (c_minus_down[:-1] - c_minus_up[1:]),
             D_even_l], 0)
-
-        # bottom boundary pair eliminated from values (reverse Thomas
-        # start, same arithmetic as tridiag.tridiag_solve)
-        as_last = A_even_l / B_even_l
         ds_last = D_even_l / B_even_l
-        B_odd_l = (e1[-2:-1] - e3[-2:-1]) * (gama[-1:] + 1.0)
-        C_odd_l = (e1[-2:-1] + e3[-2:-1]) * (gama[-1:] - 1.0)
-        A_odd_l = 2.0 * (1.0 - gama[-2:-1] ** 2)
         D_odd_l = (e3[-2:-1] * (c_plus_up[-1:] - c_plus_down[-2:-1])
                    + e1[-2:-1] * (c_minus_down[-2:-1] - c_minus_up[-1:]))
-        xo_l = 1.0 / (B_odd_l - C_odd_l * as_last)
-        as_ol = A_odd_l * xo_l
         ds_ol = (D_odd_l - C_odd_l * ds_last) * xo_l
-        aso_s[nlayer - 1:, sl] = as_ol
         dso_s[nlayer - 1:, sl] = ds_ol
-        ase_s[nlayer - 1:, sl] = as_last
         dse_s[nlayer - 1:, sl] = ds_last
-        carries_as.append(as_ol)
         carries_ds.append(ds_ol)
 
     def back(i, carry):
-        as_n, ds_n = carry
+        as_n = carry[0]
+        ds_n = carry[1]
         sl = pl.ds(nlayer - 2 - i, 1)
-        xe_ = 1.0 / (be_s[sl] - ce_s[sl] * as_n)
-        as_e = ae_s[sl] * xe_
-        ds_e = (de_s[sl] - ce_s[sl] * ds_n) * xe_
-        xo_ = 1.0 / (bo_s[sl] - co_s[sl] * as_e)
-        as_o = ao_s[sl] * xo_
-        ds_o = (do_s[sl] - co_s[sl] * ds_e) * xo_
-        aso_s[sl] = as_o
-        dso_s[sl] = ds_o
-        ase_s[sl] = as_e
-        dse_s[sl] = ds_e
-        return (as_o, ds_o)
+        xe_ = 1.0 / (be_n[sl] - ce_n[sl] * as_n)
+        as_e = ae_n[sl] * xe_
+        xo_ = 1.0 / (bo_n[sl] - co_n[sl] * as_e)
+        as_o = ao_n[sl] * xo_
+        aso_n[sl] = as_o
+        ase_n[sl] = as_e
+        # (de - ce*ds)*xe reassociated so the narrow factors ce*xe / co*xo
+        # are formed once and each angle pays only 3 fused ops per half-step
+        ce_x = ce_n[sl] * xe_
+        co_x = co_n[sl] * xo_
+        new_ds = []
+        for ia in range(nang):
+            csl = slice(ia * bw, (ia + 1) * bw)
+            ds_e = de_s[sl, csl] * xe_ - ce_x * ds_n[ia]
+            ds_o = do_s[sl, csl] * xo_ - co_x * ds_e
+            dso_s[sl, csl] = ds_o
+            dse_s[sl, csl] = ds_e
+            new_ds.append(ds_o)
+        return (as_o, tuple(new_ds))
 
-    jax.lax.fori_loop(0, nlayer - 1, back,
-                      (jnp.concatenate(carries_as, 1),
-                       jnp.concatenate(carries_ds, 1)))
+    jax.lax.fori_loop(0, nlayer - 1, back, (as_ol, tuple(carries_ds)))
 
-    x0 = dso_s[0:1]
-    xe0 = dse_s[0:1] - ase_s[0:1] * x0
-    xo_s[0:1] = x0
-    xe_s[0:1] = xe0
+    xe0s = []
+    for ia in range(nang):
+        csl = slice(ia * bw, (ia + 1) * bw)
+        x0 = dso_s[0:1, csl]
+        xe0 = dse_s[0:1, csl] - ase_n[0:1] * x0
+        xo_s[0:1, csl] = x0
+        xe_s[0:1, csl] = xe0
+        xe0s.append(xe0)
 
     def fwd(k, x_prev):
         sl = pl.ds(k, 1)
-        x_o = dso_s[sl] - aso_s[sl] * x_prev
-        x_e = dse_s[sl] - ase_s[sl] * x_o
-        xo_s[sl] = x_o
-        xe_s[sl] = x_e
-        return x_e
+        aso_k = aso_n[sl]
+        ase_k = ase_n[sl]
+        outs = []
+        for ia in range(nang):
+            csl = slice(ia * bw, (ia + 1) * bw)
+            x_o = dso_s[sl, csl] - aso_k * x_prev[ia]
+            x_e = dse_s[sl, csl] - ase_k * x_o
+            xo_s[sl, csl] = x_o
+            xe_s[sl, csl] = x_e
+            outs.append(x_e)
+        return tuple(outs)
 
-    jax.lax.fori_loop(1, nlayer, fwd, xe0)
+    jax.lax.fori_loop(1, nlayer, fwd, tuple(xe0s))
     Xo = xo_s[...]
     Xe = xe_s[...]
 
@@ -453,10 +476,11 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     level_spec = pl.BlockSpec((nlayer + 1, block_w), lambda i: (0, i))
     row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # angle-stacked scratch: the layer recursions sweep all disk angles
-    # in one fori_loop over [nlayer, nang*block_w] rows
-    scratch = pltpu.VMEM((nlayer, nang * block_w), dtau.dtype)
-    n_scratch = 12
+    # 4 angle-stacked RHS/solution buffers + 8 narrow coefficient/
+    # factorization buffers (the matrix is angle-independent; see
+    # _reflected_core)
+    wide = pltpu.VMEM((nlayer, nang * block_w), dtau.dtype)
+    narrow = pltpu.VMEM((nlayer, block_w), dtau.dtype)
 
     kernel = partial(_reflected_kernel, controls=controls, nang=nang,
                      b_top=float(b_top))
@@ -469,7 +493,7 @@ def reflected_pallas(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   layer_spec, row_spec, row_spec],
         out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nang, nwno), dtau.dtype),
-        scratch_shapes=[scratch] * n_scratch,
+        scratch_shapes=[wide] * 4 + [narrow] * 8,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -669,7 +693,7 @@ def reflected_pallas_fused(taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
                            ScatteringControls(),
                            b_top: float = 0.0, stream: int = 2,
                            delta_eddington: bool = True,
-                           block_w: int = 384, interpret: bool = False):
+                           block_w: int = 512, interpret: bool = False):
     """Reflected TOA intensity with the optics assembly fused in-kernel.
 
     Equivalent to combine_optics + reflected_pallas but the 13-field
@@ -690,7 +714,8 @@ def reflected_pallas_fused(taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
     layer_spec = pl.BlockSpec((nlayer, block_w), lambda i: (0, i))
     row_spec = pl.BlockSpec((1, block_w), lambda i: (0, i))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    scratch = pltpu.VMEM((nlayer, nang * block_w), taugas.dtype)
+    wide = pltpu.VMEM((nlayer, nang * block_w), taugas.dtype)
+    narrow = pltpu.VMEM((nlayer, block_w), taugas.dtype)
 
     kernel = partial(_reflected_kernel_fused, controls=controls,
                      nang=nang, b_top=float(b_top), stream=int(stream),
@@ -703,7 +728,7 @@ def reflected_pallas_fused(taugas, tauray, cld_opd, cld_w0, cld_g0, rf,
                   row_spec, row_spec],
         out_specs=pl.BlockSpec((nang, block_w), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((nang, nwno), taugas.dtype),
-        scratch_shapes=[scratch] * 12,
+        scratch_shapes=[wide] * 4 + [narrow] * 8,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -757,7 +782,7 @@ def spectrum_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
                           ScatteringControls(),
                           b_top: float = 0.0, stream: int = 2,
                           delta_eddington: bool = True,
-                          hard_surface: bool = False, block_w: int = 384,
+                          hard_surface: bool = False, block_w: int = 512,
                           interpret: bool = False):
     """Reflected TOA intensity AND thermal TOA flux from one kernel.
 
@@ -766,9 +791,10 @@ def spectrum_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
     6 per-source input strips stream from HBM once per wavelength block
     instead of twice.
 
-    scr layout: 12 angle-stacked [nlayer, nang*bw] (reflected solve +
-    sweeps; 4 reused as the thermal sweep scratch) + 14 [nlayer, bw]
-    (thermal Thomas).
+    scr layout: 4 angle-stacked [nlayer, nang*bw] (reflected RHS/
+    solution, reused as the thermal sweep scratch) + 8 narrow
+    [nlayer, bw] (reflected coefficients/factorization — the matrix is
+    angle-independent) + 14 narrow (thermal Thomas).
     """
     ng, nt = ubar0.shape
     nang = ng * nt
@@ -801,7 +827,7 @@ def spectrum_pallas_fused(all_b, taugas, tauray, cld_opd, cld_w0, cld_g0,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((nang, nwno), taugas.dtype),
                    jax.ShapeDtypeStruct((nang, nwno), taugas.dtype)],
-        scratch_shapes=[angle_scr] * 12 + [thomas] * 14,
+        scratch_shapes=[angle_scr] * 4 + [thomas] * 22,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
