@@ -9,6 +9,7 @@ arrays is device work.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pandas as pd
@@ -463,8 +464,10 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
             # diseq/cloudy: chemistry+kzz+quench+virga on host, opacities
             # rebuilt (resort-rebin or premixed+clouds), Newton in one
             # jitted dispatch (climate.py:3083-3151 order of operations)
-            temp = _reconstruct_host(state, np.asarray(temp_dev),
-                                     pressure_bar, nstr, nofczns)
+            # `temp` already mirrors temp_dev on host (single device_get
+            # below) — no extra readback at the loop top
+            temp = _reconstruct_host(state, temp, pressure_bar, nstr,
+                                     nofczns)
             if state.diseq:
                 df = state.update_diseq_chem(temp, pressure_bar)
             else:
@@ -489,8 +492,12 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
                 fused.profile_step(
                     temp_dev, zones, state.data, state.chem_grid,
                     state.ck.arrays, state.geom, state.adiabat, config)
-        temp = np.asarray(temp_dev)
-        state.last_fluxes = (np.asarray(fnil), np.asarray(fpit))
+        # ONE device->host fetch per iteration: under the axon relay every
+        # blocking np.asarray costs a full ~25-45 ms round trip, and the
+        # old per-array pulls (temp, fluxes, dtdp, converged) paid it 8x
+        temp, converged, dtdp, fnil, fnvl, fpit = jax.device_get(
+            (temp_dev, converged, dtdp, fnil, fnvl, fpit))
+        state.last_fluxes = (fnil, fpit)
         if save_profile:
             state.all_profiles.append(temp.copy())
 
