@@ -291,7 +291,7 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
     aso_n[nlayer - 1:] = as_ol
 
     carries_ds = []
-    cpd_last, cpu_all, cmu_all = [], [], []
+    cpd_last, cpu_all, cmu_all, e_u0dt_all = [], [], [], []
     for ia in range(nang):
         u0 = u0_ref[ia]
         sl = slice(ia * bw, (ia + 1) * bw)
@@ -307,13 +307,18 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
         x_up = jnp.exp(-tau[:-1] / u0b)
         c_minus_up = a_minus * x_up
         c_plus_up = a_plus * x_up
-        x_dn = jnp.exp(-tau[1:] / u0b)
+        # tau[1:] = tau[:-1] + dtau: the lower attenuation is
+        # x_up * e_u0dt, and e_u0dt feeds the msterm transmission below
+        # (one fewer exp sweep per disk angle in the VPU-bound stage)
+        e_u0dt = jnp.exp(-dtau / u0b)
+        x_dn = x_up * e_u0dt
         c_minus_down = a_minus * x_dn
         c_plus_down = a_plus * x_dn
         b_surface = surf_reflect * u0 * F0PI * jnp.exp(-tau[-1:] / u0)
         cpu_all.append(c_plus_up)
         cmu_all.append(c_minus_up)
         cpd_last.append(c_plus_down[-1:])
+        e_u0dt_all.append(e_u0dt)
 
         # per-angle RHS columns
         do_s[:, sl] = jnp.concatenate([
@@ -428,7 +433,10 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1)))
         den_u1 = lamda * u1 - 1.0
-        msterm = (A_ * (1.0 - jnp.exp(-dtau * (u0 + u1) / (u0 * u1)))
+        # exp(-dtau*(u0+u1)/(u0*u1)) == e_u0dt * e_u1 (beam angle
+        # dithered consistently with the c+- attenuations; differs only
+        # on resonant lanes at O(delta*dtau))
+        msterm = (A_ * (1.0 - e_u0dt_all[ia] * e_u1)
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
                       exptrm_positive * e_u1 - 1.0, den_u1,

@@ -186,7 +186,11 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
     x_up = jnp.exp(-tau[:-1] / u0b)
     c_minus_up = a_minus * x_up
     c_plus_up = a_plus * x_up
-    x_dn = jnp.exp(-tau[1:] / u0b)
+    # beam layer transmission: tau[1:] = tau[:-1] + dtau, so the lower
+    # attenuation is x_up * e_u0dt and e_u0dt is reused in the msterm
+    # transmission below (one fewer exp sweep per disk angle)
+    e_u0dt = jnp.exp(-dtau / u0b)
+    x_dn = x_up * e_u0dt
     c_minus_down = a_minus * x_dn
     c_plus_down = a_plus * x_dn
 
@@ -269,7 +273,10 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1)))
         den_u1 = lamda * u1 - 1.0
-        msterm = (A * (1.0 - jnp.exp(-dtau * (u0 + u1) / (u0 * u1)))
+        # exp(-dtau*(u0+u1)/(u0*u1)) == e_u0dt * trans (with the beam
+        # angle dithered off the eigenvalue, consistent with the c+-
+        # attenuations; differs only on resonant lanes at O(delta*dtau))
+        msterm = (A * (1.0 - e_u0dt * trans)
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
                       exptrm_positive * trans - 1.0, den_u1,
