@@ -9,6 +9,8 @@ arrays is device work.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -411,18 +413,37 @@ class _ClimateState:
                           molecular_kappa_fn=kappa_fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _reconstruct_jitted(condensables):
+    """Jitted reconstruct_profile (keyed by the static condensable-name
+    tuple): un-jitted, the eager lax.scan pays one relay dispatch per
+    primitive — ~160 ms/host-iteration against ~40 ms for one program."""
+    if condensables is None:
+        return jax.jit(lambda beta, zones, plevel, adiabat:
+                       core.reconstruct_profile(beta, zones, plevel,
+                                                adiabat))
+    return jax.jit(
+        lambda beta, zones, plevel, adiabat, cond_abunds, weights:
+        core.reconstruct_profile(
+            beta, zones, plevel, adiabat,
+            moist_args=(cond_abunds, condensables, weights)))
+
+
 def _reconstruct_host(state, temp, pressure_bar, nstr, nofczns):
     """Adiabatic re-stitch of convective zones (climate.py:3037-3067);
     with moist set, the stitch follows the moist adiabat at the current
     chemistry (climate.py:3053)."""
     zones = core.zone_maps(nstr, nofczns, len(temp))
-    moist_args = None
     if state.moist and state.condensables:
-        moist_args = (state.data.cond_abunds, state.condensables,
-                      jnp.asarray(state._config_base['cond_weights']))
-    t = core.reconstruct_profile(jnp.asarray(temp), zones,
-                                 jnp.asarray(pressure_bar * PCONV),
-                                 state.adiabat, moist_args=moist_args)
+        fn = _reconstruct_jitted(tuple(state.condensables))
+        t = fn(jnp.asarray(temp), zones,
+               jnp.asarray(pressure_bar * PCONV), state.adiabat,
+               state.data.cond_abunds,
+               jnp.asarray(state._config_base['cond_weights']))
+    else:
+        t = _reconstruct_jitted(None)(
+            jnp.asarray(temp), zones, jnp.asarray(pressure_bar * PCONV),
+            state.adiabat)
     return np.asarray(t)
 
 

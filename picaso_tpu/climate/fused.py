@@ -56,6 +56,11 @@ class ClimateConfig:
     tolmin: float = 1e-5
     tolf: float = 5e-3
     tolx: float = 5e-3
+    # Jacobian perturbation columns per batched-RT chunk (lax.map
+    # batch_size): each chunk is one RT evaluation over
+    # jac_batch*ngauss*nwno lanes, so larger = fewer sequential
+    # dispatches inside the Newton loop at more peak memory
+    jac_batch: int = 8
 
 
 class ClimateData(NamedTuple):
@@ -194,7 +199,8 @@ def newton_solve(temp, props, zones: ZoneMaps, data: ClimateData,
             col = jnp.where(zones.resid_is_level.astype(bool), dlev, dmid)
             return col / del_t
 
-        A = jax.lax.map(one_column, jnp.arange(nlevel), batch_size=8).T
+        A = jax.lax.map(one_column, jnp.arange(nlevel),
+                        batch_size=config.jac_batch).T
         mask2d = active[:, None] & active[None, :]
         return jnp.where(mask2d, A, jnp.eye(nlevel, dtype=A.dtype))
 
