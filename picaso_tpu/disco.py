@@ -81,12 +81,18 @@ def compute_disco(ng, nt, gangle, tangle, phase_angle):
     full 0-360 reflected phase curves.
     """
     cos_theta = np.cos(phase_angle)
+    # The reference writes arcsin((g - (c-1)/(c+1)) / (2/(c+1))) which
+    # divides by zero at phase = pi (disco.py:36-50 upstream shares the
+    # bug).  The (c+1) factors cancel algebraically:
+    #   (g - (c-1)/(c+1)) / (2/(c+1)) = (g*(c+1) - (c-1)) / 2
+    # identical for every c != -1 and finite at the c = -1 limit
+    # (argument -> 1, longitude -> pi/2) — full-phase new-moon geometry.
+    arg = np.clip((gangle * (cos_theta + 1.0) - (cos_theta - 1.0)) / 2.0,
+                  -1.0, 1.0)
     if phase_angle <= np.pi:
-        longitude = np.arcsin((gangle - (cos_theta - 1.0) / (cos_theta + 1.0))
-                              / (2.0 / (cos_theta + 1)))
+        longitude = np.arcsin(arg)
     else:
-        longitude = -np.arcsin((gangle - (cos_theta - 1.0) / (cos_theta + 1.0))
-                               / (2.0 / (cos_theta + 1)))
+        longitude = -np.arcsin(arg)
     colatitude = np.arccos(tangle)
     latitude = np.pi / 2 - colatitude
     f = np.sin(colatitude)

@@ -83,19 +83,8 @@ def _interp_logg(cols, logg):
     return (1 - w) * cols[gs[lo]] + w * cols[gs[hi]]
 
 
-def get_stellar_spectrum(database, teff, metallicity, logg, cdbs=None):
-    """(wno [cm^-1], flux [erg/cm^2/s/cm]) from a CDBS grid.
-
-    Bilinear in (Teff, log g) at the nearest metallicity subgrid —
-    the stsynphot Icat lookup re-done without astropy.  Output is
-    wavenumber-ordered PER-WAVELENGTH flux — the convention every
-    stellar consumer shares with the reference (its synphot spectra
-    arrive as erg*cm^-3*s^-1, justdoit.py:1790): the fpfs ratio divides
-    the per-wavelength thermal flux, and the climate path integrates
-    over dlambda per bin.
-    """
-    mets = list_metallicities(database, cdbs)
-    feh, subdir = min(mets, key=lambda t: abs(t[0] - float(metallicity)))
+def _spectrum_at_metallicity(subdir, teff, logg):
+    """(wave [A], F_lambda) bilinear in (Teff, log g) on ONE [Fe/H] subgrid."""
     files = _teff_files(subdir)
     teffs = np.array(list(files))
     t = float(np.clip(teff, teffs[0], teffs[-1]))
@@ -110,6 +99,36 @@ def get_stellar_spectrum(database, teff, metallicity, logg, cdbs=None):
         f1 = _interp_logg(c1, logg)
         f2 = np.interp(w1, w2, _interp_logg(c2, logg))
         w = (t - teffs[hi - 1]) / (teffs[hi] - teffs[hi - 1])
+        wave_a, flux_a = w1, (1 - w) * f1 + w * f2
+    return wave_a, flux_a
+
+
+def get_stellar_spectrum(database, teff, metallicity, logg, cdbs=None):
+    """(wno [cm^-1], flux [erg/cm^2/s/cm]) from a CDBS grid.
+
+    Trilinear in (Teff, log g, [Fe/H]) — the stsynphot Icat lookup
+    (justdoit.py:1756-1912 of the reference) re-done without astropy:
+    bilinear (Teff, log g) on each of the two bracketing metallicity
+    subgrids, then linear in [Fe/H] (already a log quantity) between
+    them; off-grid metallicities clip to the nearest edge.  Output is
+    wavenumber-ordered PER-WAVELENGTH flux — the convention every
+    stellar consumer shares with the reference (its synphot spectra
+    arrive as erg*cm^-3*s^-1, justdoit.py:1790): the fpfs ratio divides
+    the per-wavelength thermal flux, and the climate path integrates
+    over dlambda per bin.
+    """
+    mets = list_metallicities(database, cdbs)
+    fehs = np.array([m[0] for m in mets])
+    z = float(np.clip(metallicity, fehs[0], fehs[-1]))
+    hi = int(np.searchsorted(fehs, z))
+    if hi == 0 or fehs[min(hi, len(fehs) - 1)] == z:
+        wave_a, flux_a = _spectrum_at_metallicity(
+            mets[min(hi, len(fehs) - 1)][1], teff, logg)
+    else:
+        w1, f1 = _spectrum_at_metallicity(mets[hi - 1][1], teff, logg)
+        w2, f2 = _spectrum_at_metallicity(mets[hi][1], teff, logg)
+        f2 = np.interp(w1, w2, f2)
+        w = (z - fehs[hi - 1]) / (fehs[hi] - fehs[hi - 1])
         wave_a, flux_a = w1, (1 - w) * f1 + w * f2
 
     keep = (wave_a > 0) & np.isfinite(flux_a)

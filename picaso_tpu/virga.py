@@ -61,8 +61,15 @@ class _Pvaps:
         # Buck (1981)-style liquid/ice blend, in dyne/cm^2
         t = np.asarray(t, float)
         tc = t - 273.16
-        liq = 6.112e3 * np.exp(17.502 * tc / (240.97 + tc))
-        ice = 6.112e3 * np.exp(22.587 * tc / (273.86 + tc))
+        # np.where evaluates BOTH branches: for t < 32.2 K the liquid
+        # exponent's denominator (240.97 + tc) crosses zero and exp
+        # overflows even though only the ice branch is selected.  Clip
+        # the exponents (exp(100) >> any physical pvap) so climate-
+        # coupled hot/cold profiles run warning-free.
+        liq = 6.112e3 * np.exp(np.clip(17.502 * tc / (240.97 + tc),
+                                       -100.0, 100.0))
+        ice = 6.112e3 * np.exp(np.clip(22.587 * tc / (273.86 + tc),
+                                       -100.0, 100.0))
         return np.where(t > 273.16, liq, ice)
 
     @staticmethod

@@ -72,3 +72,38 @@ def test_batched_thermal_phase_curve(setup):
         np.testing.assert_allclose(out[phase]['thermal'],
                                    serial[phase]['thermal'], rtol=2e-3)
         assert 'fpfs_thermal' in out[phase]
+
+
+def test_compute_disco_phase_pi_finite():
+    """phase = pi must be finite (upstream divides by cos_theta+1 = 0).
+
+    The algebraic form (g*(c+1) - (c-1))/2 equals the reference's
+    expression for every c != -1 and takes the analytic limit
+    longitude = pi/2 at c = -1 (new-moon geometry: only the limb of the
+    lit hemisphere faces the observer, ubar0 <= 0 everywhere).
+    """
+    import warnings
+
+    import numpy as np
+
+    from picaso_tpu import disco
+
+    gangle, gweight, tangle, tweight = disco.get_angles_3d(6, 6)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')   # any divide-by-zero -> failure
+        ubar0, ubar1, cos_theta, lat, lon = disco.compute_disco(
+            6, 6, gangle, tangle, np.pi)
+    assert np.all(np.isfinite(ubar0)) and np.all(np.isfinite(ubar1))
+    np.testing.assert_allclose(lon, np.pi / 2, atol=1e-12)
+    assert np.all(ubar0 <= 1e-12)
+
+    # away from the singularity the algebraic form matches the
+    # reference's division form exactly
+    for phase in (0.3, 1.2, 2.5, 4.0):
+        c = np.cos(phase)
+        ref_lon = np.arcsin((gangle - (c - 1.0) / (c + 1.0))
+                            / (2.0 / (c + 1.0)))
+        if phase > np.pi:
+            ref_lon = -ref_lon
+        _, _, _, _, lon = disco.compute_disco(6, 6, gangle, tangle, phase)
+        np.testing.assert_allclose(lon, ref_lon, rtol=1e-12)

@@ -94,6 +94,41 @@ def test_stellar_grid_interpolation(cdbs):
     np.testing.assert_allclose(flux2, 2.0 * 1e8, rtol=1e-5)
 
 
+def test_stellar_feh_interpolation(cdbs):
+    """Off-node [Fe/H] blends the two bracketing subgrids (Icat-style)."""
+    import shutil
+
+    from picaso_tpu.stellar import get_stellar_spectrum
+
+    root = os.path.join(cdbs, 'grid', 'phoenix')
+    m00 = os.path.join(root, 'phoenixm00')
+    m05 = os.path.join(root, 'phoenixm05')   # [Fe/H] = -0.5
+    os.makedirs(m05)
+    for f in os.listdir(m00):
+        shutil.copy(os.path.join(m00, f),
+                    os.path.join(m05, f.replace('m00', 'm05')))
+    # scale the m05 grid by 3x so the blend is detectable
+    wave = np.linspace(3000.0, 30000.0, 200)
+    for teff, scale in ((5000, 3.0), (5200, 6.0)):
+        cols = {'WAVELENGTH': wave,
+                'g40': scale * np.full(200, 1.0),
+                'g45': scale * np.full(200, 2.0)}
+        write_bintable_fits(os.path.join(m05, f'phoenixm05_{teff}.fits'),
+                            cols)
+
+    # hand-computed blend at [Fe/H] = -0.2: bilinear (teff, logg) value
+    # is 2.25 flam on m00 and 6.75 on m05; linear in feh:
+    # (1 - 0.4)*2.25 + 0.4*6.75 = 4.05
+    wno, flux = get_stellar_spectrum('phoenix', 5100, -0.2, 4.25,
+                                     cdbs=cdbs)
+    np.testing.assert_allclose(flux, 4.05 * 1e8, rtol=1e-5)
+
+    # beyond the grid edge clips to the nearest metallicity
+    wno2, flux2 = get_stellar_spectrum('phoenix', 5100, -3.0, 4.25,
+                                       cdbs=cdbs)
+    np.testing.assert_allclose(flux2, 6.75 * 1e8, rtol=1e-5)
+
+
 def test_star_database_gated():
     """Without $PYSYN_CDBS the grid path raises a helpful error."""
     from picaso_tpu.stellar import _cdbs_root

@@ -305,3 +305,28 @@ def test_mixed_mieff_and_fallback_share_one_wave_grid(tmp_path):
     assert np.isfinite(out['opd_per_layer']).all()
     np.testing.assert_allclose(np.sort(1e4 / out['wave']),
                                np.sort(1e4 / wave), rtol=1e-3)
+
+
+def test_h2o_pvap_no_overflow():
+    """H2O pvap must not overflow np.exp on extreme profiles.
+
+    np.where evaluates both branches, so the (unselected) liquid branch
+    used to overflow for T < 32.2 K where its denominator crosses zero;
+    hot layers must stay finite too (clamped exponent).
+    """
+    import warnings
+
+    import numpy as np
+
+    from picaso_tpu.virga import pvaps
+
+    t = np.array([5.0, 30.0, 32.0, 33.0, 150.0, 300.0, 2000.0, 6000.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        p = pvaps.H2O(t)
+    assert np.all(np.isfinite(p)) and np.all(p >= 0)
+    # selected-branch values are unchanged by the clamp
+    tc = 280.0 - 273.16
+    np.testing.assert_allclose(
+        pvaps.H2O(np.array([280.0]))[0],
+        6.112e3 * np.exp(17.502 * tc / (240.97 + tc)), rtol=1e-12)
