@@ -417,7 +417,11 @@ class _ClimateState:
 def _reconstruct_jitted(condensables):
     """Jitted reconstruct_profile (keyed by the static condensable-name
     tuple): un-jitted, the eager lax.scan pays one relay dispatch per
-    primitive — ~160 ms/host-iteration against ~40 ms for one program."""
+    primitive — ~160 ms/host-iteration against ~40 ms for one program.
+
+    Shape-stable across find_strat's zone search: core.zone_maps pads
+    every ZoneMaps array to nlevel, so changing nstr/nofczns does NOT
+    retrace (verified: one cache entry across three zone layouts)."""
     if condensables is None:
         return jax.jit(lambda beta, zones, plevel, adiabat:
                        core.reconstruct_profile(beta, zones, plevel,
@@ -536,8 +540,11 @@ def profile(state: _ClimateState, nofczns, nstr, temp, pressure_bar,
         # the reference's strict `taudif < taudif_tol` (climate.py:3228)
         # can never pass when the cloud OPD is identically zero (0 < 0):
         # a cloud-free cloudy=True run hangs the flag forever upstream.
-        # taudif == 0 means the averaged cloud is EXACTLY unchanged, which
-        # is converged by any reading — treat it as such (pinned fix)
+        # The bypass is exactly that failure mode and no wider: when a
+        # cloud exists (any nonzero averaged OPD) taudif_tol > 0, so an
+        # unchanged cloud history already passes the strict gate first —
+        # `taudif == 0.0` only decides when taudif_tol == 0 too, i.e.
+        # both the current and previous 4-step OPD averages are all-zero
         if iii > 0 and ert < convt and (taudif < taudif_tol
                                         or taudif == 0.0):
             conv_flag = 1

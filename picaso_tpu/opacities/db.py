@@ -222,7 +222,9 @@ def _find_indices(pt: PTGrid, tlayer, player_bar, return_parity=False):
     """Neighbour indices + weights; port of optics.py:2048-2123.
 
     Returns (t_w [nlayer], p_w [nlayer], idx [4, nlayer]) where idx rows are
-    (t_low,p_low), (t_hi,p_low), (t_low,p_hi), (t_hi,p_hi) flat grid indices.
+    (t_low,p_low), (t_hi,p_low), (t_hi,p_hi), (t_low,p_hi) flat grid indices
+    — the reference's weight-pairing order (see the stack site below),
+    which _parity_slots and the blocked-kernel weights depend on.
     With ``return_parity`` additionally returns (t_low % 2, p_low % 2)
     [each int32 [nlayer]] — the base-corner grid parities that drive the
     blocked gather's slot-stable layout (pallas_interp._parity_slots).

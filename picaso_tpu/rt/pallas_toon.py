@@ -433,6 +433,8 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1)))
         den_u1 = lamda * u1 - 1.0
+        hdt1 = dtau / u1
+        x1 = hdt1 * den_u1   # product-form exponent, no cancellation
         # exp(-dtau*(u0+u1)/(u0*u1)) == e_u0dt * e_u1 (beam angle
         # dithered consistently with the c+- attenuations; differs only
         # on resonant lanes at O(delta*dtau))
@@ -440,7 +442,7 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
                       exptrm_positive * e_u1 - 1.0, den_u1,
-                      (dtau / u1) * (1.0 + 0.5 * dtau * den_u1 / u1))
+                      hdt1 * (1.0 + x1 * (0.5 + x1 / 6.0)), x=x1)
                   + H * (1.0 - exptrm_minus * e_u1)
                   / (lamda * u1 + 1.0))
         sc_s[:, sl] = ssterm + msterm
@@ -617,9 +619,10 @@ def _thermal_core(u1_ref, all_b, dtau, w0, cosb, tau_top, surf_reflect,
         exptrm_angle = exptrm_angle_mdpt * exptrm_angle_mdpt
         den = lamda * iubar - 1.0
         hdt = dtau / iubar
+        xden = hdt * den   # product-form exponent, no cancellation
         up_full = (G * _resonant_ratio(
                        exptrm_positive * exptrm_angle - 1.0, den,
-                       hdt * (1.0 + 0.5 * hdt * den))
+                       hdt * (1.0 + xden * (0.5 + xden / 6.0)), x=xden)
                    + H / (lamda * iubar + 1.0)
                    * (1.0 - exptrm_minus * exptrm_angle)
                    + alpha1 * (1.0 - exptrm_angle)
@@ -628,7 +631,8 @@ def _thermal_core(u1_ref, all_b, dtau, w0, cosb, tau_top, surf_reflect,
                       exptrm_positive * exptrm_angle_mdpt
                       - exptrm_positive_mdpt, den,
                       exptrm_positive_mdpt * 0.5 * hdt
-                      * (1.0 + 0.25 * hdt * den))
+                      * (1.0 + 0.25 * xden + xden * xden / 24.0),
+                      x=0.5 * xden)
                   - H / (lamda * iubar + 1.0)
                   * (exptrm_minus * exptrm_angle_mdpt - exptrm_minus_mdpt)
                   + alpha1 * (1.0 - exptrm_angle_mdpt)

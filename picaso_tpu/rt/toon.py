@@ -64,15 +64,38 @@ def _safe(den, eps=1e-6):
                      jnp.where(den < 0, -eps, eps), den)
 
 
-def _resonant_ratio(num, den, limit, eps=1e-4):
+def _resonant_ratio(num, den, limit, x=None, eps=1e-4):
     """``num / den`` with the analytic limit substituted near ``den = 0``.
 
     The source-function terms divided by (lamda*mu - 1) are removable
     expm1-type singularities (fluxes.py:1389-1400, :1883-1907): the
     numerator vanishes with the denominator, so close to the resonance
     the quotient is pure f32 cancellation noise.  ``limit`` is the
-    first-order Taylor expansion of the quotient, exact at den = 0.
+    Taylor expansion of the quotient, exact at den = 0.
+
+    ``x``, when given, is the quotient's effective small parameter —
+    the EXPONENT of the numerator's product form, e.g. dtau*den/mu for
+    (exp(dtau*den/mu) - 1)/den — computed by multiplication, so it has
+    no cancellation.  The numerator's product of exponentials carries
+    ~2 ulp absolute error of its O(1) magnitude, which the division
+    turns into ~2.4e-7/|x| relative error; the series' truncation is
+    O(x^3/24) of the value with the second-order ``limit``.  Equating
+    the two puts the crossover at |x| ~ 0.05, where both are ~5e-6 —
+    the worst-case relative error of the combined scheme.  Switching on
+    |den| alone (the pre-round-5 rule) misses small-|x| lanes at
+    moderate den, where the product form alone loses up to ~3 digits
+    (e.g. dtau/mu = 1e-2, den = 1e-2: x = 1e-4).
+
+    The switch is the UNION |x| < 0.05 OR |den| < eps: tiny-|den| lanes
+    with large |x| (dtau/mu > ~500, i.e. zero transmission near the
+    resonance) must stay on the series too, because there the product
+    form's exptrm is dtype-CLIPPED (toon._exp_clip: 10 at f32 vs 35 at
+    f64) and 1/den is pure rounding noise — measured 3.7e-3 max f32/f64
+    deviation when those lanes take the quotient, vs 7e-4 on the series.
     """
+    if x is not None:
+        take_series = (jnp.abs(x) < 0.05) | (jnp.abs(den) < eps)
+        return jnp.where(take_series, limit, num / _safe(den))
     return jnp.where(jnp.abs(den) < eps, limit, num / _safe(den))
 
 
@@ -273,6 +296,8 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   * (1.0 - jnp.exp(-dtau_og * (u0 + u1) / (u0 * u1)))
                   * (u0 / (u0 + u1)))
         den_u1 = lamda * u1 - 1.0
+        hdt1 = dtau / u1
+        x1 = hdt1 * den_u1   # exponent of the product form, no cancellation
         # exp(-dtau*(u0+u1)/(u0*u1)) == e_u0dt * trans (with the beam
         # angle dithered off the eigenvalue, consistent with the c+-
         # attenuations; differs only on resonant lanes at O(delta*dtau))
@@ -280,7 +305,7 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
                       exptrm_positive * trans - 1.0, den_u1,
-                      (dtau / u1) * (1.0 + 0.5 * dtau * den_u1 / u1))
+                      hdt1 * (1.0 + x1 * (0.5 + x1 / 6.0)), x=x1)
                   + H * (1.0 - exptrm_minus * trans)
                   / (lamda * u1 + 1.0))
         src = ssterm + msterm
@@ -461,11 +486,13 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
         # removable lamda*ubar -> 1 singularities (see _resonant_ratio)
         den = lamda * iubar - 1.0
         hdt = dtau / iubar          # lamda*dtau at the resonance
+        xden = hdt * den   # exponent of the product forms, no cancellation
         dn_full = (J / (lamda * iubar + 1.0)
                    * (exptrm_positive - exptrm_angle)
                    + K * _resonant_ratio(
                        exptrm_angle - exptrm_minus, den,
-                       exptrm_minus * hdt * (1.0 + 0.5 * hdt * den))
+                       exptrm_minus * hdt
+                       * (1.0 + xden * (0.5 + xden / 6.0)), x=xden)
                    + sigma1 * (1.0 - exptrm_angle)
                    + sigma2 * (iubar * exptrm_angle + dtau - iubar))
         dn_mid = (J / (lamda * iubar + 1.0)
@@ -473,7 +500,8 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
                   + K * _resonant_ratio(
                       exptrm_minus_mdpt - exptrm_angle_mdpt, -den,
                       exptrm_angle_mdpt * 0.5 * hdt
-                      * (1.0 - 0.25 * hdt * den))
+                      * (1.0 - 0.25 * xden + xden * xden / 24.0),
+                      x=0.5 * xden)
                   + sigma1 * (1.0 - exptrm_angle_mdpt)
                   + sigma2 * (iubar * exptrm_angle_mdpt + 0.5 * dtau - iubar))
 
@@ -493,7 +521,7 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
         # upward sweep (fluxes.py:1897-1907)
         up_full = (G * _resonant_ratio(
                        exptrm_positive * exptrm_angle - 1.0, den,
-                       hdt * (1.0 + 0.5 * hdt * den))
+                       hdt * (1.0 + xden * (0.5 + xden / 6.0)), x=xden)
                    + H / (lamda * iubar + 1.0)
                    * (1.0 - exptrm_minus * exptrm_angle)
                    + alpha1 * (1.0 - exptrm_angle)
@@ -502,7 +530,8 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
                       exptrm_positive * exptrm_angle_mdpt
                       - exptrm_positive_mdpt, den,
                       exptrm_positive_mdpt * 0.5 * hdt
-                      * (1.0 + 0.25 * hdt * den))
+                      * (1.0 + 0.25 * xden + xden * xden / 24.0),
+                      x=0.5 * xden)
                   - H / (lamda * iubar + 1.0)
                   * (exptrm_minus * exptrm_angle_mdpt - exptrm_minus_mdpt)
                   + alpha1 * (1.0 - exptrm_angle_mdpt)

@@ -10,7 +10,19 @@ recorded tolerances.
 Usage:  python scripts/tpu_parity.py [--out report.json]
 
 Recorded tolerances (f32 vs f64, empirically with ~3x headroom):
-  forward spectra   max rel < 5e-3   median rel < 5e-5
+  forward spectra   max rel < 5e-3   median rel < 2e-4
+    (median floor is COMPILATION-variance, not kernel error: the same
+     f32 HLO compiled under different XLA option sets — measured on two
+     XLA-CPU variants of this exact program — differs by up to ~1e-4
+     median because the layer cumsum's association order shifts
+     exp(-tau/mu) at moderate tau; under a single compilation variant
+     the f32-vs-f64 median is ~4e-7.  The TPU-vs-CPU-f64 comparison
+     inherently crosses compilers, so the tolerance budgets for it.)
+  SH 2/4-stream     max rel < 8e-3   median rel < 1e-3
+    (the native-f32 incoming-grouping path, rt/sh.py precision='auto';
+     looser than Toon because the block-tridiagonal solve amplifies
+     rounding near the resonance lanes — documented at ~2e-3 max;
+     measured medians: SH2 ~5e-5, SH4 ~5e-4)
   climate profile   max |dT| < 2 K
 """
 
@@ -28,7 +40,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 NWNO = 5000
-TOL = {'forward_max_rel': 5e-3, 'forward_median_rel': 5e-5,
+TOL = {'forward_max_rel': 5e-3, 'forward_median_rel': 2e-4,
+       'sh_max_rel': 8e-3, 'sh_median_rel': 1e-3,
        'climate_max_dT': 2.0}
 
 _CPU_CODE = r'''
@@ -47,6 +60,13 @@ scene, grid, config = bench.build_problem(%(nwno)d, dtype=np.float64,
 cfg = dataclasses.replace(config, transmission=True, use_pallas=False)
 out = pipeline.forward(scene, grid, cfg)
 np.savez(%(path)r, **{k: np.asarray(v) for k, v in out.items()})
+# SH 2/4-stream f64 oracles (precision='auto' resolves to f64 under x64)
+for stream in (2, 4):
+    cfg = dataclasses.replace(config, rt_method=1, stream=stream,
+                              use_pallas=False)
+    out = pipeline.forward(scene, grid, cfg)
+    np.savez(%(sh_prefix)r + str(stream) + '.npz',
+             **{k: np.asarray(v) for k, v in out.items()})
 
 from picaso_tpu import justdoit as jdi
 from picaso_tpu.opacities.ck import synthetic_ck_table
@@ -87,8 +107,9 @@ def main():
 
     ref_spec = '/tmp/tpu_parity_cpu_spec.npz'
     ref_clim = '/tmp/tpu_parity_cpu_clim.npz'
+    sh_prefix = '/tmp/tpu_parity_cpu_sh'
     code = _CPU_CODE % {'root': ROOT, 'nwno': NWNO, 'path': ref_spec,
-                        'clim_path': ref_clim}
+                        'clim_path': ref_clim, 'sh_prefix': sh_prefix}
     t0 = time.time()
     res = subprocess.run([sys.executable, '-c', code], capture_output=True,
                          text=True, timeout=3600,
@@ -115,6 +136,27 @@ def main():
             name = f'forward_{key}' + ('_pallas' if pallas else '')
             ok = (mx < TOL['forward_max_rel']
                   and med < TOL['forward_median_rel'])
+            report['checks'][name] = {'max_rel': mx, 'median_rel': med,
+                                      'ok': ok}
+            report['ok'] &= ok
+            print(f'{name:34s} max {mx:.2e} median {med:.2e} '
+                  f'{"OK" if ok else "FAIL"}')
+
+    # SH 2/4-stream: the native-f32 incoming-grouping path on device
+    # (rt/sh.py precision='auto' without x64) vs the f64 CPU oracle —
+    # the round-4 kernel VERDICT asked to put on the hardware record
+    for stream in (2, 4):
+        sh_ref = dict(np.load(f'{sh_prefix}{stream}.npz'))
+        cfg = dataclasses.replace(config, rt_method=1, stream=stream,
+                                  use_pallas=False)
+        out = pipeline.forward(scene, grid, cfg)
+        jax.block_until_ready(out)
+        for key in ('albedo', 'thermal'):
+            if key not in sh_ref:
+                continue
+            mx, med = rel_stats(out[key], sh_ref[key])
+            name = f'sh{stream}_{key}'
+            ok = (mx < TOL['sh_max_rel'] and med < TOL['sh_median_rel'])
             report['checks'][name] = {'max_rel': mx, 'median_rel': med,
                                       'ok': ok}
             report['ok'] &= ok
