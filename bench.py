@@ -10,11 +10,16 @@ HBM), so HBM pressure, the ragged index math, and molecule count match
 the real workload.  Steady-state rate, temperatures perturbed every call.
 
 The other BASELINE configs ride in the same JSON line under "extra":
-  - climate_s: brown-dwarf RCE end-to-end wall-clock (91 levels,
-    196-bin CK x 8 gauss — the legacy-EGP production shape), target
-    < 60 s; climate_661_s / climate_cloudy_s / climate_diseq_s time the
-    other three production climate modes (661-bin grid, virga-coupled,
-    disequilibrium resort-rebin+quench).
+  - climate_s / climate_661_s / climate_cloudy_s / climate_diseq_s: the
+    four production climate modes (chemeq 196-bin legacy EGP, 661-bin
+    grid, virga-coupled cloudy, disequilibrium resort-rebin+quench), all
+    solved in ONE fresh TPU subprocess: the axon relay's per-process
+    device handshake costs anywhere from seconds to ~4 minutes (relay
+    weather, not framework work), so paying it once instead of
+    once-per-mode is the difference between fitting the driver window
+    and timing out (round 4 paid it 8x and was killed).  Per-mode time
+    covers opannection + setup + the full RCE solve in that process
+    (persistent XLA disk cache warm, the steady cold-START a user sees).
   - sh4_spectra_per_s / sh4_fullres_spectra_per_s: SH 4-stream
     reflected+thermal rate, native f32 in-process (rt/sh.py incoming
     grouping) at nwno=2000 and the full 5e4 grid;
@@ -23,16 +28,30 @@ The other BASELINE configs ride in the same JSON line under "extra":
   - likelihoods_per_s: batched forward + chi^2 (the retrieval
     nested-sampling inner loop) at production shape.
   - gather_stage_ms / rt_stage_ms / rt_exp_utilization: per-stage
-    split of the forward program with achieved-vs-peak transcendental
-    accounting for the VPU-bound RT megakernels.
+    split of the forward program.  Both stages are timed DIRECTLY
+    (the jitted gather kernel; the jitted dual-pass RT megakernel on
+    precomputed inputs) — no wall-clock subtraction — and the exp peak
+    comes from a 64-deep dependent-exp chain (one HBM read+write per
+    64 exps, so bandwidth is <2% of the microbenchmark's cost; the
+    round-4 version streamed 4 exps/element and measured HBM bandwidth,
+    not VPU throughput, which is how it reported utilization > 1).
   - transit_spectra_per_s: full-res transmission rate.
   - vs_reference_numpy: measured rate of the ACTUAL reference
     implementation (numba shimmed to pure numpy — numba isn't installed
     here; note compiled numba would be faster than this numpy figure) on
     the same physics at a wavelength slice, scaled linearly in nwno.
+    Cached in bench_cache.json (the reference's rate doesn't change
+    round to round) — refresh with PICASO_BENCH_REFRESH=1.
   - vs_baseline (top-level): ratio against this same XLA program on one
     CPU host — a conservative lower bound (XLA-CPU already beats the
-    reference's loops).
+    reference's loops).  Also cached.
+
+Budget discipline: PICASO_BENCH_BUDGET_S (default 750 s) is a hard
+deadline.  After every stage the would-be-final JSON is written to
+BENCH_PARTIAL.json; a stage only starts if its estimated cost fits the
+remaining budget (skips are recorded in extra.skipped); SIGTERM/SIGINT
+print the final line from whatever has been gathered.  Stdout carries
+ONLY the final JSON line.
 
 Prints exactly one JSON line.
 """
@@ -40,6 +59,7 @@ Prints exactly one JSON line.
 import dataclasses
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -47,12 +67,19 @@ import time
 import numpy as np
 
 _T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get('PICASO_BENCH_BUDGET_S', 750))
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def _mark(msg):
     """Stage progress on stderr (stdout carries ONLY the JSON line)."""
     print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
           file=sys.stderr, flush=True)
+
+
+def _remaining():
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
 
 NWNO = 50_000
 NLEVEL = 91
@@ -207,80 +234,134 @@ def _roofline(rate, grid, nlayer, fused=True):
                         'compute (see docs/architecture.md)'}
 
 
-def _rt_utilization(scene, grid, config, headline_rate, scenes):
-    """Achieved-vs-peak accounting for the VPU-bound RT stage.
+def _measure_exp_peak():
+    """Device exp throughput from a 64-deep DEPENDENT exp chain.
 
-    The gather stage got bandwidth accounting in round 3; this gives the
-    RT megakernels the same treatment on the compute axis.  Method:
-    (1) time the gather stage alone (pipeline.gather_taugas — the same
-    jitted kernel the forward runs first), so rt_stage_ms = whole
-    program minus gather; (2) count the RT kernels' transcendental
-    evaluations analytically (exp dominates; counts below match
-    rt/pallas_toon.py after the exp-reuse pass: reflected 6 exps per
-    disk angle + 1 shared, thermal 1 per angle + 2 shared + the level
-    blackbody); (3) measure the device's streaming exp throughput with
-    a dedicated microbenchmark; utilization = achieved exp rate in the
-    RT stage / measured peak.  exp is the dominant VPU term but not the
-    only one (divides, rsqrt, the fori_loop sweeps), so this is an
-    upper-bound-ish denominator and an honest utilization floor.
+    Each element does 64 serial exps between one HBM read and one HBM
+    write, so memory traffic is 8 bytes / 64 exps — under 2% of the
+    kernel's cost at any plausible exp rate — and XLA fuses the chain
+    into a single elementwise kernel.  Different vector chunks pipeline
+    independently, so this measures VPU exp THROUGHPUT, not latency.
+    (The round-4 microbenchmark did 4 exps per element over a 128 MB
+    array: HBM-bandwidth-bound, which underestimated the peak several
+    fold and pushed the reported "utilization" past 1.)
     """
     import jax
     import jax.numpy as jnp
-    from picaso_tpu import pipeline
 
-    n = len(scenes) - 1
+    n = 4 * 1024 * 1024
+    chain = 64
+    x = jnp.linspace(0.1, 1.5, n).astype(jnp.float32)
+
+    @jax.jit
+    def run(x, c):
+        y = x
+        for _ in range(chain):
+            y = jnp.exp(-y) + c   # fixed point ~0.567: stable, no overflow
+        return y
+
+    y = run(x, jnp.float32(0.0))
+    jax.block_until_ready(y)
+    reps = 16
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            y = run(x, jnp.float32(1e-6 * i))   # defeat relay dedupe
+        jax.block_until_ready(y)
+        best = min(best, time.perf_counter() - t0)
+    return chain * reps * n / best
+
+
+def _rt_utilization(scene, grid, config, headline_rate, scenes):
+    """Achieved-vs-peak accounting for the VPU-bound RT stage.
+
+    Both stages are timed DIRECTLY with the same jitted kernels the
+    forward program runs — gather via pipeline.gather_taugas, RT via
+    the dual-pass megakernel (rt/pallas_toon.spectrum_pallas_fused) on
+    precomputed inputs — so no stage time is inferred by subtraction.
+    The analytic exp census matches the kernel source after the round-4
+    exp-reuse pass (pallas_toon.py): reflected 5 exps per disk angle
+    (x_up, e_u0dt, e_u1, the two ssterm exponentials) + 1 shared
+    (exptrm), thermal 1 per angle (midpoint transmission; the full-layer
+    one is its square) + 2 shared (exptrm, midpoint exptrm), all per
+    [nlayer, nwno] element, + the b_top row.  The level blackbody is
+    computed OUTSIDE the megakernel and is excluded here.  exp dominates
+    the kernel's VPU time but divides/rsqrt/the Thomas sweeps also run
+    on the VPU, so utilization is an honest floor.
+    """
+    import jax
+    from picaso_tpu import pipeline
+    from picaso_tpu.rt import toon
+    from picaso_tpu.rt.pallas_toon import spectrum_pallas_fused
+
+    n = min(len(scenes) - 1, 20)
     gather = jax.jit(pipeline.gather_taugas, static_argnames=('config',))
     out = gather(scenes[0], grid, config)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for s in scenes[1:n + 1]:
-        out = gather(s, grid, config)
-    jax.block_until_ready(out)
-    gather_s = (time.perf_counter() - t0) / n
-    rt_s = 1.0 / headline_rate - gather_s
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for s in scenes[1:n + 1]:
+            out = gather(s, grid, config)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    gather_s = best / n
 
+    # RT stage: the dual-pass megakernel on precomputed inputs, exactly
+    # as forward invokes it (pipeline.forward fused-optics path)
+    import jax.numpy as jnp
+    tg = out.astype(scene.cld_opd.dtype)
+    dtype = scene.cld_opd.dtype
     nlayer = int(scene.tlayer.shape[0])
     nwno = int(np.asarray(grid.wno).shape[0])
+    tr = jnp.zeros((nlayer, nwno), dtype) + 1e-4
+    rf = jnp.full((nlayer, nwno), 0.99999, dtype)
+    all_b = toon.blackbody(scene.tlevel, 1.0 / grid.wno).astype(dtype)
+    ptfac = scene.plevel[0] / (scene.plevel[1] - scene.plevel[0])
+
+    def rt(all_b, tg):
+        return spectrum_pallas_fused(
+            all_b, tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0,
+            rf, ptfac, scene.surf_reflect, scene.ubar0, scene.ubar1,
+            scene.cos_theta, scene.F0PI, controls=config.controls,
+            stream=config.stream, delta_eddington=config.delta_eddington,
+            hard_surface=config.hard_surface)
+
+    o = rt(all_b, tg)
+    jax.block_until_ready(o)
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(1, n + 1):
+            o = rt(all_b * (1 + 1e-6 * i), tg)
+        jax.block_until_ready(o)
+        best = min(best, time.perf_counter() - t0)
+    rt_s = best / n
+
     nang = int(np.asarray(scene.ubar0).size)
     per_lw = nlayer * nwno
-    exp_reflected = (6 * nang + 1) * per_lw
-    exp_thermal = (1 * nang + 2) * per_lw + (nlayer + 1) * nwno
+    exp_reflected = (5 * nang + 1) * per_lw
+    exp_thermal = (1 * nang + 2) * per_lw + nwno   # + b_top row
     exp_total = exp_reflected + exp_thermal
 
-    # device streaming-exp peak: exp-bound elementwise kernel, input
-    # perturbed per call so the relay cannot dedupe dispatches
-    x = jnp.linspace(-3.0, 3.0, 32 * 1024 * 1024).astype(jnp.float32)
-
-    @jax.jit
-    def exp4(x, c):
-        y = jnp.exp(x * c)
-        y = jnp.exp(y * (-0.25))
-        y = jnp.exp(y * 0.5)
-        y = jnp.exp(y * (-0.5))
-        return y
-
-    y = exp4(x, jnp.float32(1.0))
-    jax.block_until_ready(y)
-    reps = 8
-    t0 = time.perf_counter()
-    for i in range(reps):
-        y = exp4(x, jnp.float32(1.0 + 1e-6 * i))
-    jax.block_until_ready(y)
-    peak_exp_per_s = 4 * reps * x.size / (time.perf_counter() - t0)
-
-    achieved = exp_total / max(rt_s, 1e-9)
+    peak_exp_per_s = _measure_exp_peak()
+    achieved = exp_total / rt_s
+    other_ms = max(0.0, 1e3 * (1.0 / headline_rate - gather_s - rt_s))
     return {
         'gather_stage_ms': round(gather_s * 1e3, 2),
         'rt_stage_ms': round(rt_s * 1e3, 2),
+        'other_stage_ms': round(other_ms, 2),
         'rt_exp_per_spectrum_M': round(exp_total / 1e6, 1),
         'device_exp_peak_G_per_s': round(peak_exp_per_s / 1e9, 1),
         'rt_exp_utilization': round(achieved / peak_exp_per_s, 3),
-        'rt_util_note': 'RT-stage achieved exp/s vs measured streaming-'
-                        'exp peak; exp is the dominant but not sole VPU '
-                        'term, so this is a utilization floor'}
+        'rt_util_note': 'RT megakernel timed directly (no subtraction); '
+                        'peak from a 64-deep dependent-exp chain; exp is '
+                        'the dominant but not sole VPU term, so this is '
+                        'a utilization floor'}
 
 
-def measure_spectra_and_transit(nwno, n_iter):
+def measure_spectra_and_transit(nwno, n_iter, extra):
     # headline + transit rates from ONE production problem: the table is
     # two ~3.4 GB HBM copies, so building it twice OOMs a 16 GB chip
     from picaso_tpu import pipeline
@@ -360,96 +441,145 @@ def measure_spectra_and_transit(nwno, n_iter):
         batches = out = ll = None
     except Exception as e:
         roofline['batched8_error'] = f'{type(e).__name__}: {e}'[:160]
-    _mark('int16 quantized table')
-    if grid.log_kappa_blocked is not None:
-        # int16 fixed-point table (opannection(blocked='int16')): halves
-        # the gather stage's HBM traffic at ~1e-3 dex quantization error.
-        # Drop the f32 blocked copy first so the quantization's
-        # transpose temp + the int16 copy fit alongside the flat table.
-        try:
-            grid = grid._replace(log_kappa_blocked=None)
-            gq = grid.with_blocked_table(quantize=True)
-            grid = None
-            jax.block_until_ready(gq.log_kappa_blocked)
-            roofline['quantized_spectra_per_s'] = round(_rate(
-                lambda s: pipeline.forward(s, gq, config), scenes,
-                n_iter), 2)
-        except Exception as e:
-            roofline['quantized_error'] = f'{type(e).__name__}: {e}'[:160]
+    if _remaining() > 60:
+        _mark('int16 quantized table')
+        if grid.log_kappa_blocked is not None:
+            # int16 fixed-point table (opannection(blocked='int16')):
+            # halves the gather stage's HBM traffic at ~1e-3 dex
+            # quantization error.  Drop the f32 blocked copy first so the
+            # quantization's transpose temp + the int16 copy fit
+            # alongside the flat table.
+            try:
+                grid = grid._replace(log_kappa_blocked=None)
+                gq = grid.with_blocked_table(quantize=True)
+                grid = None
+                jax.block_until_ready(gq.log_kappa_blocked)
+                roofline['quantized_spectra_per_s'] = round(_rate(
+                    lambda s: pipeline.forward(s, gq, config), scenes,
+                    n_iter), 2)
+            except Exception as e:
+                roofline['quantized_error'] = f'{type(e).__name__}: {e}'[:160]
+    else:
+        extra.setdefault('skipped', []).append('int16')
     return headline, transit, roofline
 
-
-_CLIMATE_CODE = r'''
-import json, time
-import numpy as np
-import jax, jax.numpy as jnp
-np.asarray(jnp.zeros(1))   # absorb the axon-relay d2h handshake (see
-                           # bench._warm_tunnel) before the clock starts
-t0 = time.perf_counter()
-from picaso_tpu import justdoit as jdi
-from picaso_tpu.opacities.ck import synthetic_ck_table
-opa_ck = jdi.opannection(ck_table=synthetic_ck_table({ck_kwargs}),
-                         method='preweighted')
-case = jdi.inputs(calculation='brown')
-case.phase_angle(0)
-case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
-teff = {teff}
-case.effective_temp(teff)
-case.setup_nostar()
-case.setup_climate()
-nlevel = {nlevel}
-pressure = np.logspace(-4, 2.5, nlevel)
-guess = np.clip(teff * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
-case.inputs_climate(temp_guess=guess, pressure=pressure,
-                    rcb_guess=nlevel - 20, rfacv=0.0)
-{extra_setup}
-out = case.climate(opa_ck, verbose=False{climate_kwargs})
-print(json.dumps({{"s": time.perf_counter() - t0,
-                   "converged": bool(out["converged"])}}))
-'''
 
 # the four production climate modes (reference climate.py:2842-3124):
 # chemeq on both production grids (196-bin legacy EGP and 661-bin,
 # optics.py:1390-1395), cloudy (virga microphysics in the loop), and
-# diseq (MLT kzz + Zahnle-Marley quench, per-gas resort-rebin tables)
-CLIMATE_MODES = {
-    'chemeq': dict(ck_kwargs='', teff=700.0, extra_setup='',
-                   climate_kwargs=''),
-    '661': dict(ck_kwargs='grid661=True', teff=700.0, extra_setup='',
-                climate_kwargs=''),
-    'cloudy': dict(
-        ck_kwargs='', teff=400.0,
-        extra_setup=("case.inputs['climate']['cloudy'] = True\n"
-                     "case.inputs['climate']['virga_kwargs'] = {"
-                     "'condensates': ['H2O'], 'fsed': 3.0, 'mh': 1.0, "
-                     "'mmw': 2.2}"),
-        climate_kwargs=''),
-    'diseq': dict(
-        ck_kwargs='with_per_gas=True', teff=700.0,
-        extra_setup="case.inputs['approx']['chem_params']['quench'] = True",
-        climate_kwargs=', diseq_chem=True'),
-}
+# diseq (MLT kzz + Zahnle-Marley quench, per-gas resort-rebin tables).
+# ALL FOUR run sequentially in ONE fresh subprocess (one relay
+# handshake), each appending its result line to a progress file the
+# parent can read even if the child is killed at the deadline.
+_CLIMATE_CHILD = r'''
+import json, sys, time
+import numpy as np
+
+progress_path, budget_s, nlevel = sys.argv[1], float(sys.argv[2]), int(sys.argv[3])
+t_start = time.perf_counter()
+import jax, jax.numpy as jnp
+np.asarray(jnp.zeros(1))   # absorb the axon-relay d2h handshake
+handshake_s = time.perf_counter() - t_start
+from picaso_tpu import justdoit as jdi
+from picaso_tpu.opacities.ck import synthetic_ck_table
+
+prog = open(progress_path, 'a')
+def emit(d):
+    prog.write(json.dumps(d) + '\n'); prog.flush()
+emit({'handshake_s': round(handshake_s, 2)})
+
+MODES = [
+    ('chemeq', {}, 700.0, None, {}),
+    ('661', {'grid661': True}, 700.0, None, {}),
+    ('cloudy', {}, 400.0, 'cloudy', {}),
+    ('diseq', {'with_per_gas': True}, 700.0, 'quench',
+     {'diseq_chem': True}),
+]
+
+def run_mode(ck_kwargs, teff, extra, climate_kwargs):
+    t0 = time.perf_counter()
+    opa_ck = jdi.opannection(ck_table=synthetic_ck_table(**ck_kwargs),
+                             method='preweighted')
+    case = jdi.inputs(calculation='brown')
+    case.phase_angle(0)
+    case.gravity(gravity=100.0, gravity_unit=jdi.u.Unit('m/(s**2)'))
+    case.effective_temp(teff)
+    case.setup_nostar()
+    case.setup_climate()
+    pressure = np.logspace(-4, 2.5, nlevel)
+    guess = np.clip(teff * (pressure / 10.0) ** 0.12, 250.0, 2800.0)
+    case.inputs_climate(temp_guess=guess, pressure=pressure,
+                        rcb_guess=nlevel - 20, rfacv=0.0)
+    if extra == 'cloudy':
+        case.inputs['climate']['cloudy'] = True
+        case.inputs['climate']['virga_kwargs'] = {
+            'condensates': ['H2O'], 'fsed': 3.0, 'mh': 1.0, 'mmw': 2.2}
+    elif extra == 'quench':
+        case.inputs['approx']['chem_params']['quench'] = True
+    out = case.climate(opa_ck, verbose=False, **climate_kwargs)
+    return time.perf_counter() - t0, bool(out['converged'])
+
+est = 150.0   # first-mode estimate; later modes use observed times
+for name, ck_kwargs, teff, extra, ckw in MODES:
+    if time.perf_counter() - t_start > budget_s - 0.8 * est:
+        emit({'mode': name, 'skipped': 'deadline'})
+        continue
+    try:
+        s, conv = run_mode(ck_kwargs, teff, extra, ckw)
+        est = max(60.0, s)
+        emit({'mode': name, 's': round(s, 2), 'converged': conv})
+    except Exception as e:
+        emit({'mode': name, 'error': f'{type(e).__name__}: {e}'[:200]})
+'''
 
 
-def measure_climate(mode='chemeq', runs=2):
-    """Climate RCE end-to-end in FRESH processes (BASELINE: < 60 s for
-    the chemeq brown dwarf).
+def measure_climate_all(extra, budget_s):
+    """All four climate modes in one fresh TPU subprocess.
 
-    Two runs: the first may compile (populating the persistent XLA disk
-    cache picaso_tpu enables by default); the second is the steady-state
-    cold-START number a user sees — new process, warmed disk cache.
+    The child appends one JSON line per completed mode to a progress
+    file; on deadline the parent kills the child and keeps whatever
+    completed.  Per-mode time = opannection + setup + full RCE solve
+    (fresh process, warm persistent XLA disk cache — the cold-start a
+    user sees; the relay handshake is excluded and reported separately).
     """
-    code = _CLIMATE_CODE.format(nlevel=NLEVEL, **CLIMATE_MODES[mode])
-
-    def once():
-        res = subprocess.run([sys.executable, '-c', code],
-                             capture_output=True, text=True, timeout=1800,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(res.stdout.strip().splitlines()[-1])
-
-    first = once()
-    second = once() if runs > 1 else first
-    return first['s'], second['s'], bool(second['converged'])
+    progress = os.path.join(_HERE, '.bench_climate_progress.jsonl')
+    try:
+        os.remove(progress)
+    except OSError:
+        pass
+    child_budget = max(60.0, budget_s - 15.0)
+    try:
+        subprocess.run(
+            [sys.executable, '-c', _CLIMATE_CHILD, progress,
+             str(child_budget), str(NLEVEL)],
+            capture_output=True, text=True, timeout=budget_s, cwd=_HERE)
+    except subprocess.TimeoutExpired:
+        extra['climate_note'] = 'child hit the parent deadline; partial'
+    try:
+        with open(progress) as f:
+            lines = [json.loads(l) for l in f if l.strip()]
+    except OSError:
+        lines = []
+    try:
+        os.remove(progress)
+    except OSError:
+        pass
+    got = False
+    for d in lines:
+        if 'handshake_s' in d:
+            extra['climate_handshake_s'] = d['handshake_s']
+            continue
+        key = 'climate' if d['mode'] == 'chemeq' else f"climate_{d['mode']}"
+        if 's' in d:
+            extra[f'{key}_s'] = d['s']
+            extra[f'{key}_converged'] = d['converged']
+            got = True
+        elif 'error' in d:
+            extra[f'{key}_error'] = d['error']
+        else:
+            extra.setdefault('skipped', []).append(key)
+    if not got and 'climate_note' not in extra:
+        extra['climate_error'] = 'climate child produced no results'
 
 
 def measure_sh(nwno=2000, n_iter=20, production=False, streams=(4, 2)):
@@ -552,11 +682,69 @@ print(json.dumps({"ref_rate_at_slice": 1.0/dt, "nwno": nwno}))
 '''
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     res = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                         text=True, timeout=1800, env=env,
-                         cwd=os.path.dirname(os.path.abspath(__file__)))
+                         text=True, timeout=1800, env=env, cwd=_HERE)
     d = json.loads(res.stdout.strip().splitlines()[-1])
     # reference cost is linear in nwno (per-wavelength loops)
     return d['ref_rate_at_slice'] * d['nwno'] / NWNO
+
+
+def _cpu_baseline_subprocess():
+    """This same XLA program on one CPU host, in a clean subprocess."""
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--cpu-baseline'],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=_HERE)
+    return json.loads(res.stdout.strip().splitlines()[-1])['cpu_rate_full']
+
+
+def _load_baseline_cache():
+    """reference-numpy + XLA-CPU rates from bench_cache.json.
+
+    Neither changes round to round (the reference is frozen; the CPU
+    baseline only moves when the forward program changes materially), so
+    they are measured once, stamped with the commit, and reused — two
+    ~1-5 minute subprocesses the TPU bench window doesn't have to pay.
+    Refresh with PICASO_BENCH_REFRESH=1 or scripts/refresh_bench_cache.py.
+    """
+    if os.environ.get('PICASO_BENCH_REFRESH') == '1':
+        return None
+    try:
+        with open(os.path.join(_HERE, 'bench_cache.json')) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# incremental emission + deadline plumbing
+# ---------------------------------------------------------------------------
+
+_RESULT = {'metric': None, 'value': None, 'unit': 'spectra/s',
+           'vs_baseline': None, 'extra': {}}
+_PRINTED = [False]
+
+
+def _emit_partial():
+    try:
+        with open(os.path.join(_HERE, 'BENCH_PARTIAL.json'), 'w') as f:
+            json.dump(_RESULT, f)
+    except OSError:
+        pass
+
+
+def _emit_final():
+    if _PRINTED[0]:
+        return
+    _PRINTED[0] = True
+    _RESULT['extra']['bench_elapsed_s'] = round(
+        time.perf_counter() - _T0, 1)
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _on_signal(signum, frame):
+    _RESULT['extra']['terminated_by'] = signal.Signals(signum).name
+    _emit_final()
+    os._exit(0)
 
 
 def main():
@@ -569,10 +757,13 @@ def main():
         print(json.dumps({'cpu_rate_full': rate * nwno_cpu / NWNO}))
         return
 
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     import gc
 
     import jax
-    extra = {}
+    extra = _RESULT['extra']
     # the axon relay's compile endpoint intermittently returns
     # RESOURCE_EXHAUSTED for perfectly-sized programs (multi-tenant
     # contention; the same program compiles fine minutes later) — retry
@@ -583,7 +774,7 @@ def main():
     for attempt in range(4):
         try:
             rate, transit_rate, roofline = measure_spectra_and_transit(
-                NWNO, N_ITER)
+                NWNO, N_ITER, extra)
             extra['transit_spectra_per_s'] = round(transit_rate, 2)
             extra.update(roofline)
             break
@@ -610,6 +801,49 @@ def main():
                 extra['headline_error'] = f'{type(e).__name__}: {e}'[:200]
                 jax.clear_caches()
                 time.sleep(45)
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = 'backend-unavailable'
+    _RESULT['metric'] = (
+        '1D reflected+thermal spectra/sec at production table shape '
+        f'(1060-pt ragged PT grid, 16 molecules, nwno={nwno_used}, '
+        f'nlevel={NLEVEL}, {platform})')
+    _RESULT['value'] = round(rate, 4) if rate is not None else None
+    _emit_partial()
+
+    # cached baselines first: free, and they complete the vs_* story
+    # even if a later stage eats the budget
+    cache = _load_baseline_cache()
+    if cache and rate is not None:
+        ref_rate = cache.get('reference_numpy_spectra_per_s')
+        cpu_rate = cache.get('cpu_rate_full')
+        extra['baseline_cache'] = {
+            k: cache.get(k) for k in ('commit', 'date')}
+        if ref_rate:
+            extra['reference_numpy_spectra_per_s'] = round(ref_rate, 5)
+            extra['vs_reference_numpy'] = round(rate / ref_rate, 1)
+            # numba is not installable in this image, so the BASELINE
+            # ">50x vs numba-CPU" target is checked by inference:
+            # published numba-vs-numpy speedups for loop-heavy float
+            # kernels of this shape are 10-30x, so a compiled reference
+            # would run at most ~30x the measured numpy rate.
+            extra['reference_numba_estimated'] = round(ref_rate * 30.0, 4)
+            extra['vs_reference_numba_floor'] = round(
+                rate / (ref_rate * 30.0), 1)
+            # the BASELINE ">50x vs numba-CPU" target is stated for a
+            # v5e-8; the floor above is ONE chip.  Wavelength sharding is
+            # collective-free through the whole RT pass (parallel.py; the
+            # 8-virtual-device equality tests and dryrun_multichip
+            # exercise the exact program), so 8-chip scaling of this
+            # embarrassingly-parallel axis is linear to first order.
+            extra['vs_reference_numba_floor_v5e8_est'] = round(
+                8 * rate / (ref_rate * 30.0), 1)
+        if cpu_rate:
+            _RESULT['vs_baseline'] = round(rate / cpu_rate, 2)
+    _emit_partial()
+
     # release the ~7 GB of device tables before the subprocess configs
     # (they share the one chip)
     gc.collect()
@@ -617,108 +851,84 @@ def main():
     gc.collect()
 
     # SH native f32 in-process, at the SH-bench slice AND full resolution
-    _mark('SH native f32 (nwno=2000)')
-    try:
-        sh = measure_sh(nwno=2000)
-        extra['sh4_spectra_per_s'] = round(sh['sh4_rate'], 3)
-        extra['sh2_spectra_per_s'] = round(sh['sh2_rate'], 3)
-        _mark('SH4 full-res')
-        sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4,))
-        extra['sh4_fullres_spectra_per_s'] = round(sh_full['sh4_rate'], 3)
-        extra['sh_note'] = ('native f32 in-process (rt/sh.py incoming '
-                            'grouping), nwno=2000 and full-res '
-                            f'nwno={NWNO}, reflected+thermal')
-    except Exception as e:
-        extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
-        jax.clear_caches()
-    _mark('SH4 3D phase curve')
-    try:
-        extra['sh4_phase_curve_points_per_s'] = round(
-            measure_sh4_phase_curve(), 3)
-        extra['sh4_phase_curve_note'] = (
-            'BASELINE config #4: 4-phase 3D disco ball (6x6 gauss-cheby '
-            'facets), SH4 reflected+thermal, one batched dispatch, '
-            'nwno=2000')
-    except Exception as e:
-        extra['sh4_phase_curve_error'] = f'{type(e).__name__}: {e}'[:200]
-        jax.clear_caches()
+    if _remaining() > 90:
+        _mark('SH native f32 (nwno=2000)')
+        try:
+            sh = measure_sh(nwno=2000)
+            extra['sh4_spectra_per_s'] = round(sh['sh4_rate'], 3)
+            extra['sh2_spectra_per_s'] = round(sh['sh2_rate'], 3)
+            _mark('SH4 full-res')
+            sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4,))
+            extra['sh4_fullres_spectra_per_s'] = round(
+                sh_full['sh4_rate'], 3)
+            extra['sh_note'] = ('native f32 in-process (rt/sh.py incoming '
+                                'grouping), nwno=2000 and full-res '
+                                f'nwno={NWNO}, reflected+thermal')
+        except Exception as e:
+            extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
+            jax.clear_caches()
+    else:
+        extra.setdefault('skipped', []).append('sh')
+    _emit_partial()
+    if _remaining() > 45:
+        _mark('SH4 3D phase curve')
+        try:
+            extra['sh4_phase_curve_points_per_s'] = round(
+                measure_sh4_phase_curve(), 3)
+            extra['sh4_phase_curve_note'] = (
+                'BASELINE config #4: 4-phase 3D disco ball (6x6 '
+                'gauss-cheby facets), SH4 reflected+thermal, one batched '
+                'dispatch, nwno=2000')
+        except Exception as e:
+            extra['sh4_phase_curve_error'] = f'{type(e).__name__}: {e}'[:200]
+            jax.clear_caches()
+    else:
+        extra.setdefault('skipped', []).append('sh4_phase_curve')
+    _emit_partial()
     gc.collect()
     jax.clear_caches()
     gc.collect()
 
-    _mark('climate chemeq')
-    try:
-        first, fresh, converged = measure_climate('chemeq')
-        extra['climate_s'] = round(fresh, 2)   # fresh process, warm cache
-        extra['climate_first_compile_s'] = round(first, 2)
-        extra['climate_converged'] = converged
-    except Exception as e:
-        extra['climate_error'] = f'{type(e).__name__}: {e}'[:200]
-    # the other three production climate modes (see CLIMATE_MODES)
-    for mode, key in (('661', 'climate_661'), ('cloudy', 'climate_cloudy'),
-                      ('diseq', 'climate_diseq')):
+    # all four climate modes, one subprocess, deadline-aware
+    if _remaining() > 90:
+        _mark('climate (all modes, one subprocess)')
         try:
-            _mark(f'climate {mode}')
-            first, fresh, converged = measure_climate(mode)
-            extra[f'{key}_s'] = round(fresh, 2)
-            extra[f'{key}_first_compile_s'] = round(first, 2)
-            extra[f'{key}_converged'] = converged
+            measure_climate_all(extra, budget_s=_remaining() - 15)
         except Exception as e:
-            extra[f'{key}_error'] = f'{type(e).__name__}: {e}'[:200]
-    _mark('reference numpy subprocess')
-    try:
-        ref_rate = _reference_numpy_subprocess()
-        extra['reference_numpy_spectra_per_s'] = round(ref_rate, 5)
-        extra['vs_reference_numpy'] = round(rate / ref_rate, 1)
-        # numba is not installable in this image, so the BASELINE ">50x
-        # vs numba-CPU" target is checked by inference: published
-        # numba-vs-numpy speedups for loop-heavy float kernels of this
-        # shape are 10-30x, so a compiled reference would run at most
-        # ~30x the measured numpy rate.  vs_reference_numba_floor is the
-        # speedup against that most-favorable-to-the-reference estimate.
-        extra['reference_numba_estimated'] = round(ref_rate * 30.0, 4)
-        extra['vs_reference_numba_floor'] = round(rate / (ref_rate * 30.0),
-                                                  1)
-        # the BASELINE ">50x vs numba-CPU" target is stated for a v5e-8;
-        # the floor above is ONE chip.  Wavelength sharding is
-        # collective-free through the whole RT pass (parallel.py; the
-        # 8-virtual-device equality tests and dryrun_multichip exercise
-        # the exact program), so 8-chip scaling of this
-        # embarrassingly-parallel axis is linear to first order.
-        extra['vs_reference_numba_floor_v5e8_est'] = round(
-            8 * rate / (ref_rate * 30.0), 1)
-    except Exception as e:
-        extra['reference_error'] = f'{type(e).__name__}: {e}'[:200]
+            extra['climate_error'] = f'{type(e).__name__}: {e}'[:200]
+    else:
+        extra.setdefault('skipped', []).append('climate')
+    _emit_partial()
 
-    _mark('cpu baseline subprocess')
-    # CPU baseline of the same XLA program in a clean subprocess
-    try:
-        env = dict(os.environ, JAX_PLATFORMS='cpu')
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--cpu-baseline'],
-            capture_output=True, text=True, timeout=1800, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        cpu_rate = json.loads(res.stdout.strip().splitlines()[-1]
-                              )['cpu_rate_full']
-        vs_baseline = rate / cpu_rate
-    except Exception:
-        vs_baseline = float('nan')
+    # baselines not cached: measure only with time to spare
+    if cache is None and rate is not None:
+        if _remaining() > 120:
+            _mark('reference numpy subprocess')
+            try:
+                ref_rate = _reference_numpy_subprocess()
+                extra['reference_numpy_spectra_per_s'] = round(ref_rate, 5)
+                extra['vs_reference_numpy'] = round(rate / ref_rate, 1)
+                extra['reference_numba_estimated'] = round(
+                    ref_rate * 30.0, 4)
+                extra['vs_reference_numba_floor'] = round(
+                    rate / (ref_rate * 30.0), 1)
+                extra['vs_reference_numba_floor_v5e8_est'] = round(
+                    8 * rate / (ref_rate * 30.0), 1)
+            except Exception as e:
+                extra['reference_error'] = f'{type(e).__name__}: {e}'[:200]
+        else:
+            extra.setdefault('skipped', []).append('reference_numpy')
+        if _remaining() > 120:
+            _mark('cpu baseline subprocess')
+            try:
+                _RESULT['vs_baseline'] = round(
+                    rate / _cpu_baseline_subprocess(), 2)
+            except Exception:
+                pass
+        else:
+            extra.setdefault('skipped', []).append('cpu_baseline')
 
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = 'backend-unavailable'
-    print(json.dumps({
-        'metric': '1D reflected+thermal spectra/sec at production table '
-                  f'shape (1060-pt ragged PT grid, 16 molecules, '
-                  f'nwno={nwno_used}, nlevel={NLEVEL}, '
-                  f'{platform})',
-        'value': round(rate, 4) if rate is not None else None,
-        'unit': 'spectra/s',
-        'vs_baseline': (round(vs_baseline, 2)
-                        if vs_baseline == vs_baseline else None),
-        'extra': extra,
-    }))
+    _emit_final()
 
 
 if __name__ == '__main__':
