@@ -273,6 +273,52 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
                 tg + tr + scene.cld_opd)
         return out
 
+    if (config.use_pallas and config.fuse_optics and config.rt_method == 1
+            and config.stream == 4 and config.test_mode is None):
+        # SH4 megakernels (rt/pallas_sh.py): optics + system assembly +
+        # block-Thomas + intensity per wavelength block in VMEM — the
+        # scan path materializes the assembled system and its per-layer
+        # carries in HBM (measured 7.5 -> see bench sh4 rates)
+        from .rt.pallas_sh import reflected_sh4_pallas, thermal_sh4_pallas
+        tg = taugas.astype(dtype)
+        tr = tauray.astype(dtype)
+        out = {}
+        if config.reflected:
+            xint = reflected_sh4_pallas(
+                tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,
+                scene.surf_reflect, scene.ubar0, scene.ubar1,
+                scene.cos_theta, scene.F0PI, controls=config.controls,
+                delta_eddington=config.delta_eddington,
+                w_single_form=config.sh_w_single_form,
+                w_multi_form=config.sh_w_multi_form,
+                psingle_form=config.sh_psingle_form,
+                w_single_rayleigh=config.sh_w_single_rayleigh,
+                w_multi_rayleigh=config.sh_w_multi_rayleigh,
+                psingle_rayleigh=config.sh_psingle_rayleigh,
+                single_form=config.sh_single_form)
+            out['albedo'] = disco_mod.compress_disco(
+                xint, scene.gweight, scene.tweight, scene.cos_theta,
+                scene.F0PI)
+        if config.thermal:
+            all_b = toon.blackbody(scene.tlevel,
+                                   1.0 / grid.wno).astype(dtype)
+            ptfac = scene.plevel[0] / (scene.plevel[1] - scene.plevel[0])
+            flux_top = thermal_sh4_pallas(
+                all_b, tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0,
+                rf, ptfac, scene.surf_reflect, scene.ubar1,
+                hard_surface=config.hard_surface,
+                delta_eddington=config.delta_eddington)
+            out['thermal'] = disco_mod.compress_thermal(
+                flux_top, scene.gweight, scene.tweight)
+        if config.transmission:
+            # same total extinction the SH scan branch passes
+            # (props.dtau_og = taugas + tauray + cld_opd)
+            out['transit_depth'] = transit_depth(
+                scene.z, scene.dz, scene.rstar, scene.mmw_layer,
+                scene.plevel, scene.tlevel, scene.colden,
+                tg + tr + scene.cld_opd)
+        return out
+
     props = combine_optics(taugas.astype(dtype), tauray.astype(dtype),
                            scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,
                            test_mode=config.test_mode,
