@@ -588,14 +588,16 @@ def measure_sh(nwno=2000, n_iter=20, production=False, streams=(4, 2)):
     Runs the native f32 path (rt/sh.py precision='auto': incoming-field
     block-row pairing + expm1-hardened sources; ~2e-3 max relative
     error vs the f64 oracle) — no x64 subprocess, no global flag flip.
+    Stream 4 takes the Pallas megakernel (rt/pallas_sh.py) when the
+    backend supports it (config.use_pallas from build_problem); stream 2
+    falls through to the XLA scan path either way.
     """
     from picaso_tpu import pipeline
 
     scene, grid, config = build_problem(nwno, production=production)
     out = {}
     for stream in streams:
-        cfg = dataclasses.replace(config, rt_method=1, stream=stream,
-                                  use_pallas=False)
+        cfg = dataclasses.replace(config, rt_method=1, stream=stream)
         scenes = _perturbed(scene, n_iter)
         out[f'sh{stream}_rate'] = _rate(
             lambda s: pipeline.forward(s, grid, cfg), scenes, n_iter)
@@ -861,9 +863,11 @@ def main():
             sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4,))
             extra['sh4_fullres_spectra_per_s'] = round(
                 sh_full['sh4_rate'], 3)
-            extra['sh_note'] = ('native f32 in-process (rt/sh.py incoming '
-                                'grouping), nwno=2000 and full-res '
-                                f'nwno={NWNO}, reflected+thermal')
+            extra['sh_note'] = ('native f32 in-process; SH4 via the '
+                                'Pallas megakernel (rt/pallas_sh.py), '
+                                'SH2 via the XLA scan path; nwno=2000 '
+                                f'and full-res nwno={NWNO}, '
+                                'reflected+thermal')
         except Exception as e:
             extra['sh4_error'] = f'{type(e).__name__}: {e}'[:200]
             jax.clear_caches()

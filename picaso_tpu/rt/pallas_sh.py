@@ -464,14 +464,14 @@ def _sh4_reflected_core(u0_ref, u1_ref, ct, dtau, tau, w0, cosb_og, w0_og,
                   * em_mus1 * jnp.exp(-_clip(tau_og[:-1] / u0)) / mus)
 
         # sweep scratch (both dead after the elimination): transmission
-        # in a_s slab ia, source in c_s slab ia (nang <= 8 slabs each)
-        a_s[:, ia * bw:(ia + 1) * bw] = trans_u1
-        c_s[:, ia * bw:(ia + 1) * bw] = intgrl / u1
+        # in a_s slab 0, source in c_s slab 0 — the per-angle sweeps are
+        # sequential, so one slab serves every angle (nang unbounded)
+        a_s[:, 0:bw] = trans_u1
+        c_s[:, 0:bw] = intgrl / u1
 
         def ascend(i, x_below):
             k = pl.ds(nlayer - 1 - i, 1)
-            return (x_below * a_s[k, ia * bw:(ia + 1) * bw]
-                    + c_s[k, ia * bw:(ia + 1) * bw])
+            return x_below * a_s[k, 0:bw] + c_s[k, 0:bw]
 
         xint_top = jax.lax.fori_loop(0, nlayer, ascend, flux_bot / PI)
         out_ref[ia:ia + 1, :] = xint_top
@@ -661,14 +661,14 @@ def _sh4_thermal_core(u1_ref, all_b, dtau, w0, cosb_og, tau_top,
             xint_bottom = (all_b[-1:] + b1[-1:] * u1) * 2 * PI
 
         # sweep scratch (dead after the elimination): transmission in
-        # a_s slab ia, source in c_s slab ia (nang <= 8 slabs each)
-        a_s[:, ia * bw:(ia + 1) * bw] = expdtau
-        c_s[:, ia * bw:(ia + 1) * bw] = intgrl / u1
+        # a_s slab 0, source in c_s slab 0 — the per-angle sweeps are
+        # sequential, so one slab serves every angle (nang unbounded)
+        a_s[:, 0:bw] = expdtau
+        c_s[:, 0:bw] = intgrl / u1
 
         def ascend(i, x_below):
             k = pl.ds(nlayer - 1 - i, 1)
-            return (x_below * a_s[k, ia * bw:(ia + 1) * bw]
-                    + c_s[k, ia * bw:(ia + 1) * bw])
+            return x_below * a_s[k, 0:bw] + c_s[k, 0:bw]
 
         xint_top = jax.lax.fori_loop(0, nlayer, ascend, xint_bottom)
         out_ref[ia:ia + 1, :] = xint_top

@@ -63,6 +63,39 @@ def test_reflected_sh4_pallas_matches_scan(problem):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5 * scale)
 
 
+def test_reflected_sh4_pallas_many_angles(problem):
+    """nang > 8 (3D disco-ball geometry): regression for the sweep
+    scratch overflowing the reused a_s/c_s slab capacity."""
+    from picaso_tpu import disco as disco_mod
+    from picaso_tpu.optics import combine_optics
+    from picaso_tpu.rt.sh import reflected_sh
+    from picaso_tpu.rt.pallas_sh import reflected_sh4_pallas
+
+    scene, grid, config, taugas, tauray, rf, props = problem
+    g = disco_mod.make_geometry(1.0, num_gangle=4, num_tangle=3)
+    dt = np.float32
+    ub0 = np.asarray(g.ubar0, dt)
+    ub1 = np.asarray(g.ubar1, dt)
+    ct = np.asarray(g.cos_theta, dt)
+    props12 = combine_optics(jnp.asarray(taugas), jnp.asarray(tauray),
+                             scene.cld_opd, scene.cld_w0, scene.cld_g0,
+                             jnp.asarray(rf), delta_eddington=True,
+                             stream=4)
+    ref = reflected_sh(props12, scene.surf_reflect, ub0, ub1, ct,
+                       scene.F0PI, stream=4, controls=config.controls,
+                       precision='f32')
+    out = reflected_sh4_pallas(
+        jnp.asarray(taugas), jnp.asarray(tauray), scene.cld_opd,
+        scene.cld_w0, scene.cld_g0, jnp.asarray(rf), scene.surf_reflect,
+        ub0, ub1, ct, scene.F0PI, controls=config.controls,
+        block_w=128, interpret=True)
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    assert out.shape == ref.shape == (4, 3, 300)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5 * scale)
+
+
 def test_thermal_sh4_pallas_matches_scan(problem):
     from picaso_tpu.rt import toon
     from picaso_tpu.rt.sh import thermal_sh
