@@ -785,11 +785,15 @@ def main():
             jax.clear_caches()
             time.sleep(45 * (attempt + 1))
     if rate is None:
-        # degradation ladder for a contended relay: the int16 table
-        # shrinks the program's footprint by 2.2 GB at full shape; then
-        # progressively smaller wavelength grids (reported as such — no
-        # extrapolation of the headline)
-        for blocked, nw in (('int16', NWNO), ('f32', NWNO),
+        # degradation ladder for a contended relay: one more plain-f32
+        # attempt first (a flaky relay should still yield the
+        # full-quality headline), then the int16 table — a CAPACITY
+        # rung, it shrinks the program's footprint by 2.2 GB at full
+        # shape but measures ~4% slower than f32 (the post-dedup gather
+        # is VPU-bound; see gather_probe.py) — then progressively
+        # smaller wavelength grids (reported as such — no extrapolation
+        # of the headline)
+        for blocked, nw in (('f32', NWNO), ('int16', NWNO),
                             ('f32', 37_500), ('f32', 25_000)):
             try:
                 rate = measure(nw, N_ITER, blocked=blocked)
