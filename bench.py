@@ -62,6 +62,7 @@ import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -734,10 +735,15 @@ def _emit_partial():
         pass
 
 
+_EMIT_LOCK = threading.Lock()
+
+
 def _emit_final():
-    if _PRINTED[0]:
-        return
-    _PRINTED[0] = True
+    # single-print guard must be atomic once the watchdog thread exists
+    with _EMIT_LOCK:
+        if _PRINTED[0]:
+            return
+        _PRINTED[0] = True
     _RESULT['extra']['bench_elapsed_s'] = round(
         time.perf_counter() - _T0, 1)
     print(json.dumps(_RESULT), flush=True)
@@ -747,6 +753,34 @@ def _on_signal(signum, frame):
     _RESULT['extra']['terminated_by'] = signal.Signals(signum).name
     _emit_final()
     os._exit(0)
+
+
+def _start_watchdog():
+    """Print the final JSON at the deadline even if the main thread is
+    wedged inside a C call.
+
+    Python signal handlers only run between bytecodes; a relay
+    handshake or XLA compile that hangs (observed: >15 min of 'relay
+    weather' on a contended day) keeps the main thread inside a C
+    extension, so SIGTERM from the driver's `timeout` never reaches
+    _on_signal and the round's record becomes rc=124/parsed=null (the
+    round-4 failure mode, which the signal handler alone did NOT fix).
+    A daemon thread needs only the GIL (socket waits and XLA compiles
+    release it): it emits whatever has been gathered and exits 0.
+    """
+    def _watch():
+        grace = 15.0  # let a final in-flight stage record first
+        while True:
+            left = _BUDGET_S + grace - (time.perf_counter() - _T0)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        _RESULT['extra']['terminated_by'] = 'watchdog'
+        _emit_final()
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=_watch, daemon=True).start()
 
 
 def main():
@@ -761,6 +795,7 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+    _start_watchdog()
 
     import gc
 

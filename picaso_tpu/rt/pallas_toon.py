@@ -215,7 +215,6 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
     exptrm = jnp.minimum(lamda * dtau, _exp_clip(dtau.dtype))
     exptrm_positive = jnp.exp(exptrm)
     exptrm_minus = 1.0 / exptrm_positive
-
     e1 = exptrm_positive + gama * exptrm_minus
     e2 = exptrm_positive - gama * exptrm_minus
     e3 = gama * exptrm_positive + exptrm_minus
@@ -442,7 +441,7 @@ def _reflected_core(u0_ref, u1_ref, cos_theta, dtau, tau, w0, cosb, gcos2,
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
                       exptrm_positive * e_u1 - 1.0, den_u1,
-                      hdt1 * (1.0 + x1 * (0.5 + x1 / 6.0)), x=x1)
+                      hdt1 * (1.0 + x1 * (0.5 + x1 / 6.0)))
                   + H * (1.0 - exptrm_minus * e_u1)
                   / (lamda * u1 + 1.0))
         sc_s[:, sl] = ssterm + msterm
@@ -622,7 +621,7 @@ def _thermal_core(u1_ref, all_b, dtau, w0, cosb, tau_top, surf_reflect,
         xden = hdt * den   # product-form exponent, no cancellation
         up_full = (G * _resonant_ratio(
                        exptrm_positive * exptrm_angle - 1.0, den,
-                       hdt * (1.0 + xden * (0.5 + xden / 6.0)), x=xden)
+                       hdt * (1.0 + xden * (0.5 + xden / 6.0)))
                    + H / (lamda * iubar + 1.0)
                    * (1.0 - exptrm_minus * exptrm_angle)
                    + alpha1 * (1.0 - exptrm_angle)
@@ -631,8 +630,7 @@ def _thermal_core(u1_ref, all_b, dtau, w0, cosb, tau_top, surf_reflect,
                       exptrm_positive * exptrm_angle_mdpt
                       - exptrm_positive_mdpt, den,
                       exptrm_positive_mdpt * 0.5 * hdt
-                      * (1.0 + 0.25 * xden + xden * xden / 24.0),
-                      x=0.5 * xden)
+                      * (1.0 + 0.25 * xden + xden * xden / 24.0))
                   - H / (lamda * iubar + 1.0)
                   * (exptrm_minus * exptrm_angle_mdpt - exptrm_minus_mdpt)
                   + alpha1 * (1.0 - exptrm_angle_mdpt)

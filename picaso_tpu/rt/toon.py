@@ -64,38 +64,37 @@ def _safe(den, eps=1e-6):
                      jnp.where(den < 0, -eps, eps), den)
 
 
-def _resonant_ratio(num, den, limit, x=None, eps=1e-4):
+def _resonant_ratio(num, den, limit, eps=1e-4):
     """``num / den`` with the analytic limit substituted near ``den = 0``.
 
     The source-function terms divided by (lamda*mu - 1) are removable
     expm1-type singularities (fluxes.py:1389-1400, :1883-1907): the
     numerator vanishes with the denominator, so close to the resonance
     the quotient is pure f32 cancellation noise.  ``limit`` is the
-    Taylor expansion of the quotient, exact at den = 0.
+    second-order Taylor expansion of the quotient, exact at den = 0.
 
-    ``x``, when given, is the quotient's effective small parameter —
-    the EXPONENT of the numerator's product form, e.g. dtau*den/mu for
-    (exp(dtau*den/mu) - 1)/den — computed by multiplication, so it has
-    no cancellation.  The numerator's product of exponentials carries
-    ~2 ulp absolute error of its O(1) magnitude, which the division
-    turns into ~2.4e-7/|x| relative error; the series' truncation is
-    O(x^3/24) of the value with the second-order ``limit``.  Equating
-    the two puts the crossover at |x| ~ 0.05, where both are ~5e-6 —
-    the worst-case relative error of the combined scheme.  Switching on
-    |den| alone (the pre-round-5 rule) misses small-|x| lanes at
-    moderate den, where the product form alone loses up to ~3 digits
-    (e.g. dtau/mu = 1e-2, den = 1e-2: x = 1e-4).
-
-    The switch is the UNION |x| < 0.05 OR |den| < eps: tiny-|den| lanes
-    with large |x| (dtau/mu > ~500, i.e. zero transmission near the
-    resonance) must stay on the series too, because there the product
-    form's exptrm is dtype-CLIPPED (toon._exp_clip: 10 at f32 vs 35 at
-    f64) and 1/den is pure rounding noise — measured 3.7e-3 max f32/f64
-    deviation when those lanes take the quotient, vs 7e-4 on the series.
+    REJECTED alternative (round 5, kept as a warning): switching to the
+    series on the UNION |x| < 0.05 OR |den| < eps, where x is the
+    numerator's product-form exponent (e.g. dtau*den/mu for
+    (exp(dtau*den/mu) - 1)/den, computed by multiplication so it has no
+    cancellation).  On paper that bounds the scheme's relative error at
+    ~5e-6 everywhere, vs up to ~3-digit loss for the quotient on
+    small-|x| lanes at moderate den.  Measured, the accuracy win was
+    negligible (f32-vs-f64 albedo median 4.2e-7 -> 4.0e-7) — and it
+    broke the climate solver: the thermal source terms fed the fused
+    Newton RCE solve values that de-synchronize from the clip-SATURATED
+    two-stream system on deep layers (exptrm clipped at 10 in f32;
+    G/H/J/K carry the compensating scale, so only the CLIPPED quotient
+    stays consistent in the product — the reference clips both at 35,
+    fluxes.py:1683-1912), and under XLA fusion the enlarged series arm
+    additionally produced optimizer-dependent NaNs in the layer fluxes
+    (jax_debug_nans: the de-optimized program is NaN-free).  Net effect:
+    a converging 48-bin sliced-CK RCE solve collapsed to a 146 K top of
+    atmosphere (caught by the multichip dryrun; regression test at
+    tests/test_resonant_clip.py).  The |den|-only switch below is the
+    round-4 rule that production behavior is validated against; do not
+    widen it without re-running that test and the full parity suite.
     """
-    if x is not None:
-        take_series = (jnp.abs(x) < 0.05) | (jnp.abs(den) < eps)
-        return jnp.where(take_series, limit, num / _safe(den))
     return jnp.where(jnp.abs(den) < eps, limit, num / _safe(den))
 
 
@@ -305,7 +304,7 @@ def _reflected_one_angle(dtau, tau, w0, cosb, gcos2, ftau_cld, ftau_ray,
                   * (u0 / (u0 + u1))
                   + G * _resonant_ratio(
                       exptrm_positive * trans - 1.0, den_u1,
-                      hdt1 * (1.0 + x1 * (0.5 + x1 / 6.0)), x=x1)
+                      hdt1 * (1.0 + x1 * (0.5 + x1 / 6.0)))
                   + H * (1.0 - exptrm_minus * trans)
                   / (lamda * u1 + 1.0))
         src = ssterm + msterm
@@ -492,7 +491,7 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
                    + K * _resonant_ratio(
                        exptrm_angle - exptrm_minus, den,
                        exptrm_minus * hdt
-                       * (1.0 + xden * (0.5 + xden / 6.0)), x=xden)
+                       * (1.0 + xden * (0.5 + xden / 6.0)))
                    + sigma1 * (1.0 - exptrm_angle)
                    + sigma2 * (iubar * exptrm_angle + dtau - iubar))
         dn_mid = (J / (lamda * iubar + 1.0)
@@ -500,8 +499,7 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
                   + K * _resonant_ratio(
                       exptrm_minus_mdpt - exptrm_angle_mdpt, -den,
                       exptrm_angle_mdpt * 0.5 * hdt
-                      * (1.0 - 0.25 * xden + xden * xden / 24.0),
-                      x=0.5 * xden)
+                      * (1.0 - 0.25 * xden + xden * xden / 24.0))
                   + sigma1 * (1.0 - exptrm_angle_mdpt)
                   + sigma2 * (iubar * exptrm_angle_mdpt + 0.5 * dtau - iubar))
 
@@ -521,7 +519,7 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
         # upward sweep (fluxes.py:1897-1907)
         up_full = (G * _resonant_ratio(
                        exptrm_positive * exptrm_angle - 1.0, den,
-                       hdt * (1.0 + xden * (0.5 + xden / 6.0)), x=xden)
+                       hdt * (1.0 + xden * (0.5 + xden / 6.0)))
                    + H / (lamda * iubar + 1.0)
                    * (1.0 - exptrm_minus * exptrm_angle)
                    + alpha1 * (1.0 - exptrm_angle)
@@ -530,8 +528,7 @@ def thermal_1d(tlevel, dtau, w0, cosb, plevel, ubar1, surf_reflect, wno,
                       exptrm_positive * exptrm_angle_mdpt
                       - exptrm_positive_mdpt, den,
                       exptrm_positive_mdpt * 0.5 * hdt
-                      * (1.0 + 0.25 * xden + xden * xden / 24.0),
-                      x=0.5 * xden)
+                      * (1.0 + 0.25 * xden + xden * xden / 24.0))
                   - H / (lamda * iubar + 1.0)
                   * (exptrm_minus * exptrm_angle_mdpt - exptrm_minus_mdpt)
                   + alpha1 * (1.0 - exptrm_angle_mdpt)

@@ -147,21 +147,28 @@ def main():
     # the round-4 kernel VERDICT asked to put on the hardware record
     for stream in (2, 4):
         sh_ref = dict(np.load(f'{sh_prefix}{stream}.npz'))
-        cfg = dataclasses.replace(config, rt_method=1, stream=stream,
-                                  use_pallas=False)
-        out = pipeline.forward(scene, grid, cfg)
-        jax.block_until_ready(out)
-        for key in ('albedo', 'thermal'):
-            if key not in sh_ref:
-                continue
-            mx, med = rel_stats(out[key], sh_ref[key])
-            name = f'sh{stream}_{key}'
-            ok = (mx < TOL['sh_max_rel'] and med < TOL['sh_median_rel'])
-            report['checks'][name] = {'max_rel': mx, 'median_rel': med,
-                                      'ok': ok}
-            report['ok'] &= ok
-            print(f'{name:34s} max {mx:.2e} median {med:.2e} '
-                  f'{"OK" if ok else "FAIL"}')
+        # stream 4 additionally has the round-5 Pallas megakernel path
+        # (rt/pallas_sh.py) — the kernel the bench's full-res SH4 stage
+        # dispatches on TPU; it needs its own hardware parity row
+        variants = [False]
+        if stream == 4 and backend not in ('cpu', 'gpu'):
+            variants.append(True)
+        for pallas in variants:
+            cfg = dataclasses.replace(config, rt_method=1, stream=stream,
+                                      use_pallas=pallas)
+            out = pipeline.forward(scene, grid, cfg)
+            jax.block_until_ready(out)
+            for key in ('albedo', 'thermal'):
+                if key not in sh_ref:
+                    continue
+                mx, med = rel_stats(out[key], sh_ref[key])
+                name = f'sh{stream}_{key}' + ('_pallas' if pallas else '')
+                ok = (mx < TOL['sh_max_rel'] and med < TOL['sh_median_rel'])
+                report['checks'][name] = {'max_rel': mx, 'median_rel': med,
+                                          'ok': ok}
+                report['ok'] &= ok
+                print(f'{name:34s} max {mx:.2e} median {med:.2e} '
+                      f'{"OK" if ok else "FAIL"}')
 
     if backend not in ('cpu', 'gpu'):
         # int16 fixed-point gather table (opannection(blocked='int16')):
