@@ -589,9 +589,8 @@ def measure_sh(nwno=2000, n_iter=20, production=False, streams=(4, 2)):
     Runs the native f32 path (rt/sh.py precision='auto': incoming-field
     block-row pairing + expm1-hardened sources; ~2e-3 max relative
     error vs the f64 oracle) — no x64 subprocess, no global flag flip.
-    Stream 4 takes the Pallas megakernel (rt/pallas_sh.py) when the
-    backend supports it (config.use_pallas from build_problem); stream 2
-    falls through to the XLA scan path either way.
+    Both streams take their Pallas megakernels (rt/pallas_sh.py) when
+    the backend supports it (config.use_pallas from build_problem).
     """
     from picaso_tpu import pipeline
 
@@ -898,13 +897,15 @@ def main():
             sh = measure_sh(nwno=2000)
             extra['sh4_spectra_per_s'] = round(sh['sh4_rate'], 3)
             extra['sh2_spectra_per_s'] = round(sh['sh2_rate'], 3)
-            _mark('SH4 full-res')
-            sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4,))
+            _mark('SH full-res')
+            sh_full = measure_sh(nwno=NWNO, n_iter=8, streams=(4, 2))
             extra['sh4_fullres_spectra_per_s'] = round(
                 sh_full['sh4_rate'], 3)
-            extra['sh_note'] = ('native f32 in-process; SH4 via the '
-                                'Pallas megakernel (rt/pallas_sh.py), '
-                                'SH2 via the XLA scan path; nwno=2000 '
+            extra['sh2_fullres_spectra_per_s'] = round(
+                sh_full['sh2_rate'], 3)
+            extra['sh_note'] = ('native f32 in-process; SH2 and SH4 via '
+                                'their Pallas megakernels '
+                                '(rt/pallas_sh.py); nwno=2000 '
                                 f'and full-res nwno={NWNO}, '
                                 'reflected+thermal')
         except Exception as e:

@@ -274,17 +274,23 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
         return out
 
     if (config.use_pallas and config.fuse_optics and config.rt_method == 1
-            and config.stream == 4 and config.test_mode is None):
-        # SH4 megakernels (rt/pallas_sh.py): optics + system assembly +
-        # block-Thomas + intensity per wavelength block in VMEM — the
+            and config.stream in (2, 4) and config.test_mode is None):
+        # SH 2/4 megakernels (rt/pallas_sh.py): optics + system assembly
+        # + block-Thomas + intensity per wavelength block in VMEM — the
         # scan path materializes the assembled system and its per-layer
         # carries in HBM (measured 7.5 -> see bench sh4 rates)
-        from .rt.pallas_sh import reflected_sh4_pallas, thermal_sh4_pallas
+        from .rt import pallas_sh
+        if config.stream == 2:
+            reflected_k = pallas_sh.reflected_sh2_pallas
+            thermal_k = pallas_sh.thermal_sh2_pallas
+        else:
+            reflected_k = pallas_sh.reflected_sh4_pallas
+            thermal_k = pallas_sh.thermal_sh4_pallas
         tg = taugas.astype(dtype)
         tr = tauray.astype(dtype)
         out = {}
         if config.reflected:
-            xint = reflected_sh4_pallas(
+            xint = reflected_k(
                 tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0, rf,
                 scene.surf_reflect, scene.ubar0, scene.ubar1,
                 scene.cos_theta, scene.F0PI, controls=config.controls,
@@ -303,7 +309,7 @@ def forward(scene: SceneTensors, grid: OpacityGrid,
             all_b = toon.blackbody(scene.tlevel,
                                    1.0 / grid.wno).astype(dtype)
             ptfac = scene.plevel[0] / (scene.plevel[1] - scene.plevel[0])
-            flux_top = thermal_sh4_pallas(
+            flux_top = thermal_k(
                 all_b, tg, tr, scene.cld_opd, scene.cld_w0, scene.cld_g0,
                 rf, ptfac, scene.surf_reflect, scene.ubar1,
                 hard_surface=config.hard_surface,

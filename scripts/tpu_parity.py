@@ -147,11 +147,11 @@ def main():
     # the round-4 kernel VERDICT asked to put on the hardware record
     for stream in (2, 4):
         sh_ref = dict(np.load(f'{sh_prefix}{stream}.npz'))
-        # stream 4 additionally has the round-5 Pallas megakernel path
-        # (rt/pallas_sh.py) — the kernel the bench's full-res SH4 stage
-        # dispatches on TPU; it needs its own hardware parity row
+        # both streams additionally have round-5 Pallas megakernel paths
+        # (rt/pallas_sh.py) — the kernels the bench's full-res SH stages
+        # dispatch on TPU; each needs its own hardware parity row
         variants = [False]
-        if stream == 4 and backend not in ('cpu', 'gpu'):
+        if backend not in ('cpu', 'gpu'):
             variants.append(True)
         for pallas in variants:
             cfg = dataclasses.replace(config, rt_method=1, stream=stream,
